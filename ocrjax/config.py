@@ -1,0 +1,86 @@
+"""Frozen configuration for the OCR pipeline.
+
+The reference keeps its hyperparameters as CLI flags + hardcoded constants
+(SURVEY.md §5 "Config / flag system"). Here everything lives in one frozen
+dataclass so that jit-compiled functions can close over static values and the
+CLI maps 1:1 onto fields. Defaults are the standard DB/CRNN values named in
+SURVEY.md §5 (thresh 0.3, box_thresh 0.6, unclip 1.5, max_side 960,
+rec height 32) — to be re-verified against the real reference source when the
+mount is fixed (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OcrConfig:
+    # --- detection preprocess (SURVEY.md §2.1 R1) ---
+    det_max_side: int = 960          # max long side before detection
+    det_stride: int = 32             # H, W padded to multiples of this
+    det_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    det_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    # --- DB postprocess (SURVEY.md §2.1 R3) ---
+    det_thresh: float = 0.3          # prob-map binarization threshold
+    det_box_thresh: float = 0.6      # mean-score filter for candidate boxes
+    det_unclip_ratio: float = 1.5    # Vatti-style polygon expansion ratio
+    det_max_candidates: int = 256    # fixed-shape cap on boxes per page
+    det_min_box_size: int = 3        # minimum side length in pixels
+    det_cc_iters: int = 64           # label-propagation sweeps for on-device CCL
+
+    # --- recognition preprocess (SURVEY.md §2.1 R1) ---
+    rec_height: int = 32             # fixed input height of line crops
+    rec_width_buckets: Tuple[int, ...] = (64, 128, 192, 256, 320, 512)
+    rec_mean: float = 0.5
+    rec_std: float = 0.5
+
+    # --- CRNN / CTC (SURVEY.md §2.1 R5, R6) ---
+    rec_hidden: int = 256            # BiLSTM hidden size
+    rec_conv_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    ctc_blank: int = 0               # blank id (charset ids start at 1)
+    ctc_beam_width: int = 8
+    rec_max_tokens: int = 128        # fixed-shape decode output length
+
+    # --- batching / tiling (C4, C5; SURVEY.md §2.3 N12/N13) ---
+    line_batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
+    tile_size: int = 2048            # C5: tiled detection at 2048px
+    tile_overlap: int = 128
+    tile_merge_iou: float = 0.3
+
+    # --- runtime ---
+    compute_dtype: str = "bfloat16"  # MXU-native dtype for conv/matmul
+    param_dtype: str = "float32"
+
+    def replace(self, **kw) -> "OcrConfig":
+        return dataclasses.replace(self, **kw)
+
+    def rec_bucket_for_width(self, w: int) -> int:
+        """Smallest configured width bucket >= w (last bucket if wider)."""
+        for b in self.rec_width_buckets:
+            if w <= b:
+                return b
+        return self.rec_width_buckets[-1]
+
+    def line_bucket_for_count(self, n: int) -> int:
+        """Smallest configured line-count bucket >= n (last if larger)."""
+        for b in self.line_batch_buckets:
+            if n <= b:
+                return b
+        return self.line_batch_buckets[-1]
+
+
+# A small config for unit tests / CPU: tiny model dims, short buckets.
+TINY = OcrConfig(
+    det_max_side=256,
+    rec_hidden=48,
+    rec_conv_channels=(16, 32, 48, 64),
+    rec_width_buckets=(64, 128),
+    line_batch_buckets=(4, 8),
+    det_max_candidates=64,
+    tile_size=256,
+    tile_overlap=32,
+    compute_dtype="float32",
+)

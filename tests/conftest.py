@@ -1,0 +1,42 @@
+"""Test harness config (SURVEY.md §4.2).
+
+All tests run on CPU-jax by default with 8 virtual devices so that pjit/mesh
+sharding tests exercise real multi-device partitioning without TPU hardware
+(SURVEY.md §4.2 "Multi-chip without a cluster"). Tests that need the real TPU
+are marked `tpu` and skipped unless one is present.
+
+Environment variables must be set before jax initializes its backends, hence
+the module-level os.environ writes at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_debug_nans", False)  # flipped on per-test where useful
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: requires a real TPU device")
+    config.addinivalue_line("markers", "slow: long-running (training) test")
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    skip_tpu = pytest.mark.skip(reason="no TPU available (JAX_PLATFORMS=cpu)")
+    for item in items:
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
