@@ -1,0 +1,228 @@
+"""Public API: detect / recognize / ocr (SURVEY.md §2.1 R9, §2.3 N9).
+
+Mirrors the reference's surface — `detect(path) -> boxes`,
+`recognize(path) -> string`, `ocr(path) -> ordered text` — plus batched
+variants (C4) and tiled high-res documents (C5). An `OcrEngine` owns the
+models, weights, charset and the jit caches; module-level functions wrap a
+default engine for one-liner use.
+
+TPU structure: each stage is one fused jit program keyed by a static bucket
+shape (SURVEY.md §3.6) — e.g. recognition is normalize → CRNN fwd → batched
+greedy/beam CTC in a single XLA graph, with host work limited to image decode
+and the final id→char lookup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrjax import preprocess
+from ocrjax.charset import Charset, default_charset
+from ocrjax.config import OcrConfig
+from ocrjax.models.crnn import create_crnn
+from ocrjax.ops import ctc
+
+ImageLike = preprocess.ImageLike
+
+
+@dataclasses.dataclass
+class RecResult:
+    """One recognized text line."""
+    text: str
+    confidence: float
+
+
+@dataclasses.dataclass
+class DetBox:
+    """One detected text region: 4 corner points (x, y) in original image
+    coordinates, clockwise from top-left, plus the mean prob-map score."""
+    quad: np.ndarray  # (4, 2) float32
+    score: float
+
+
+@dataclasses.dataclass
+class OcrLine:
+    box: DetBox
+    text: str
+    confidence: float
+
+
+@dataclasses.dataclass
+class OcrResult:
+    lines: List[OcrLine]
+
+    @property
+    def text(self) -> str:
+        return "\n".join(l.text for l in self.lines)
+
+
+class OcrEngine:
+    """Owns config, charset, model defs, weights and jit caches."""
+
+    def __init__(
+        self,
+        config: Optional[OcrConfig] = None,
+        charset: Optional[Charset] = None,
+        rec_variables=None,
+        det_variables=None,
+        seed: int = 0,
+    ):
+        self.config = config or OcrConfig()
+        self.charset = charset or default_charset()
+        self.rec_model = create_crnn(self.config, self.charset.num_classes)
+        key = jax.random.PRNGKey(seed)
+        if rec_variables is None:
+            # Random init — usable for shape/pipeline tests; real weights come
+            # from training (ocrjax.train) or converted checkpoints (weights).
+            dummy = jnp.zeros(
+                (1, self.config.rec_height, self.config.rec_width_buckets[0], 1),
+                jnp.float32,
+            )
+            rec_variables = self.rec_model.init(key, dummy)
+        self.rec_variables = rec_variables
+        self.det_variables = det_variables
+        self._det = None  # built lazily by detection methods (ocrjax.models.db)
+
+    # ------------------------------------------------------------------
+    # Recognition (C1 single / C4 batched)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "beam"))
+    def _rec_step(self, variables, batch_u8, widths, beam: bool = False):
+        """One fused XLA program: normalize → CRNN → batched CTC decode."""
+        x = preprocess.rec_normalize(
+            batch_u8, self.config.rec_mean, self.config.rec_std)
+        logits, frame_lengths = self.rec_model.apply(variables, x, widths)
+        decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
+        kw = dict(blank=self.config.ctc_blank,
+                  max_tokens=self.config.rec_max_tokens)
+        if beam:
+            kw["beam_width"] = self.config.ctc_beam_width
+        return decode(logits, frame_lengths, **kw)
+
+    def recognize_strips(
+        self, strips: Sequence[np.ndarray], beam: bool = False
+    ) -> List[RecResult]:
+        """Batched recognition of pre-cropped uint8 grayscale line strips.
+
+        Strips may have arbitrary sizes; they are resized to the rec height
+        on host and bucketed by width (one XLA program per (count, width)
+        bucket, SURVEY.md §2.3 N13).
+        """
+        if len(strips) == 0:
+            return []
+        resized = [
+            preprocess.rec_resize(preprocess.to_gray(np.asarray(s)),
+                                  self.config.rec_height)
+            for s in strips
+        ]
+        batch, widths = preprocess.pad_strips_to_bucket(resized, self.config)
+        n = len(strips)
+        nb = self.config.line_bucket_for_count(n)
+        if nb > n:  # pad the batch axis to the count bucket
+            pad = np.zeros((nb - n,) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad], axis=0)
+            widths = np.concatenate(
+                [widths, np.full((nb - n,), batch.shape[2], np.int32)])
+        tokens, n_tokens, conf = self._rec_step(
+            self.rec_variables, jnp.asarray(batch), jnp.asarray(widths),
+            beam=beam)
+        tokens, n_tokens, conf = map(np.asarray, (tokens, n_tokens, conf))
+        return [
+            RecResult(self.charset.decode(tokens[i][: n_tokens[i]]),
+                      float(conf[i]))
+            for i in range(n)
+        ]
+
+    def recognize(self, image: ImageLike, beam: bool = False) -> RecResult:
+        """C1: single pre-cropped text-line image → one string."""
+        img = preprocess.load_image(image)
+        return self.recognize_strips([img], beam=beam)[0]
+
+    # ------------------------------------------------------------------
+    # Detection / end-to-end — implemented with the DB stage (see
+    # ocrjax.models.db, ocrjax.postprocess); wired in api_det.py mixin style.
+    # ------------------------------------------------------------------
+
+    def detect(self, image: ImageLike) -> List[DetBox]:
+        from ocrjax import api_det  # local import to keep C1 path light
+        return api_det.detect(self, image)
+
+    def ocr(self, image: ImageLike, beam: bool = False) -> OcrResult:
+        from ocrjax import api_det
+        return api_det.ocr(self, image, beam=beam)
+
+    def ocr_batch(self, images: Sequence[ImageLike], beam: bool = False
+                  ) -> List[OcrResult]:
+        from ocrjax import api_det
+        return api_det.ocr_batch(self, images, beam=beam)
+
+    def detect_tiled(self, image: ImageLike) -> List[DetBox]:
+        from ocrjax import api_det
+        return api_det.detect_tiled(self, image)
+
+
+# ---------------------------------------------------------------------------
+# Module-level convenience (default engine, built on first use)
+# ---------------------------------------------------------------------------
+
+_default_engine: Optional[OcrEngine] = None
+
+
+def get_default_engine() -> OcrEngine:
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = OcrEngine.from_pretrained()
+    return _default_engine
+
+
+def recognize(image: ImageLike, beam: bool = False) -> RecResult:
+    return get_default_engine().recognize(image, beam=beam)
+
+
+def detect(image: ImageLike) -> List[DetBox]:
+    return get_default_engine().detect(image)
+
+
+def ocr(image: ImageLike, beam: bool = False) -> OcrResult:
+    return get_default_engine().ocr(image, beam=beam)
+
+
+def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
+                     seed: int = 0) -> "OcrEngine":
+    """Load an engine from a weights directory (assets/ by default).
+
+    Expects `<dir>/rec.safetensors` (+ optional `det.safetensors`,
+    `rec.charset.txt`). Missing files → random init for that stage.
+    """
+    import os
+    from ocrjax import weights as W
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets")
+    rec_p = os.path.join(path, "rec.safetensors")
+    det_p = os.path.join(path, "det.safetensors")
+    cs_p = os.path.join(path, "rec.charset.txt")
+    charset = Charset.from_file(cs_p) if os.path.exists(cs_p) else None
+    rec_v = W.load_variables(rec_p) if os.path.exists(rec_p) else None
+    det_v = W.load_variables(det_p) if os.path.exists(det_p) else None
+    if config is None and os.path.exists(rec_p):
+        meta = W.load_metadata(rec_p)
+        if "config" in meta:
+            import json
+            cfg_dict = json.loads(meta["config"])
+            cfg_dict = {k: tuple(v) if isinstance(v, list) else v
+                        for k, v in cfg_dict.items()}
+            config = OcrConfig(**cfg_dict)
+    return cls(config=config, charset=charset, rec_variables=rec_v,
+               det_variables=det_v, seed=seed)
+
+
+OcrEngine.from_pretrained = classmethod(_from_pretrained)

@@ -1,0 +1,134 @@
+"""Image loading + preprocessing (SURVEY.md §2.1 R1, §2.3 N1).
+
+Split of labor, TPU-first:
+
+  * Host: file decode (PIL/cv2) and the aspect-preserving resize of
+    arbitrary-sized inputs (dynamic shapes stay off the device).
+  * Device: everything with a static shape — cast, normalize, layout — as
+    fused jit transforms (BASELINE.json:5 "image decode/resize/normalize
+    preprocessing becomes a fused JAX transform").
+
+Recompilation control (SURVEY.md §3.6): detection always lands on a fixed
+square canvas of `det_max_side` (padded), so the detection graph compiles
+exactly once; recognition strips are padded to width buckets
+(`rec_width_buckets`), one compile per bucket. In the end-to-end path (C3+)
+line crops never touch the host at all — the batched warp (ocrjax.ops.warp)
+samples them straight off the on-device page.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple, Union
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrjax.config import OcrConfig
+
+ImageLike = Union[str, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Host: decode + resize
+# ---------------------------------------------------------------------------
+
+def load_image(image: ImageLike) -> np.ndarray:
+    """Path or array → uint8 RGB HWC. Grayscale inputs are broadcast to 3ch."""
+    if isinstance(image, str):
+        bgr = cv2.imread(image, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise FileNotFoundError(f"could not decode image: {image}")
+        img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    else:
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            raise ValueError(f"expected uint8 image, got {img.dtype}")
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        elif img.ndim == 3 and img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected HWC RGB, got shape {img.shape}")
+    return img
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """uint8 RGB HWC → uint8 HW (ITU-R 601 luma, matching cv2)."""
+    if img.ndim == 2:
+        return img
+    return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+
+
+def rec_resize(img: np.ndarray, height: int = 32) -> np.ndarray:
+    """Aspect-preserving resize of a grayscale strip to the fixed rec height."""
+    h, w = img.shape[:2]
+    new_w = max(1, int(round(w * height / h)))
+    return cv2.resize(img, (new_w, height), interpolation=cv2.INTER_LINEAR)
+
+
+def det_resize_to_canvas(
+    img: np.ndarray, cfg: OcrConfig
+) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Resize a page onto the fixed (S, S, 3) detection canvas.
+
+    Long side is scaled to exactly `det_max_side` when larger (never
+    upscaled), short side keeps aspect; the rest of the canvas is zero.
+    Returns (canvas uint8, scale, (valid_h, valid_w)); original coords =
+    canvas coords / scale.
+    """
+    S = cfg.det_max_side
+    h, w = img.shape[:2]
+    scale = min(S / max(h, w), 1.0)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    canvas = np.zeros((S, S, 3), np.uint8)
+    canvas[:nh, :nw] = resized
+    return canvas, nh / h, (nh, nw)
+
+
+def pad_strips_to_bucket(
+    strips: Sequence[np.ndarray], cfg: OcrConfig, bucket_width: int = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-width (32, w) uint8 strips into (N, 32, Wb) + widths."""
+    widths = np.array([s.shape[1] for s in strips], np.int32)
+    if bucket_width is None:
+        bucket_width = cfg.rec_bucket_for_width(int(widths.max(initial=1)))
+    out = np.zeros((len(strips), cfg.rec_height, bucket_width), np.uint8)
+    for i, s in enumerate(strips):
+        w = min(s.shape[1], bucket_width)
+        out[i, :, :w] = s[:, :w]
+    return out, np.minimum(widths, bucket_width)
+
+
+# ---------------------------------------------------------------------------
+# Device: fused normalize/layout (jit, static shapes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mean", "std"))
+def rec_normalize(batch_u8: jnp.ndarray, mean: float = 0.5, std: float = 0.5
+                  ) -> jnp.ndarray:
+    """(N, 32, W) uint8 → (N, 32, W, 1) float32 normalized to ~[-1, 1]."""
+    x = batch_u8.astype(jnp.float32) * (1.0 / 255.0)
+    x = (x - mean) / std
+    return x[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("mean", "std"))
+def det_normalize(
+    canvas_u8: jnp.ndarray,
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """(..., S, S, 3) uint8 → float32 NHWC, ImageNet-normalized.
+
+    Accepts a single canvas or a batch; always returns a batch dim.
+    """
+    if canvas_u8.ndim == 3:
+        canvas_u8 = canvas_u8[None]
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    x = canvas_u8.astype(jnp.float32) * (1.0 / 255.0)
+    return (x - m) / s

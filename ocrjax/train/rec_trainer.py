@@ -1,0 +1,133 @@
+"""CRNN training loop (SURVEY.md §2.3 N11) on synthetic rendered text.
+
+Functional, jit-compiled train step (forward + CTC loss + adam update +
+batch-stats update in one XLA program). The step is written sharding-agnostic:
+`ocrjax.parallel.mesh` can pjit it over a device mesh with the batch axis
+sharded (DP) with no changes here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ocrjax import preprocess
+from ocrjax.charset import Charset, default_charset
+from ocrjax.config import OcrConfig
+from ocrjax.models.crnn import create_crnn
+from ocrjax.ops import ctc
+from ocrjax.train import synth
+
+
+@dataclasses.dataclass
+class TrainResult:
+    variables: Dict[str, Any]
+    history: list
+    exact_match: float
+
+
+def make_train_step(model, tx) -> Callable:
+    """Returns jit'd (params, batch_stats, opt_state, batch) -> updated."""
+
+    def loss_fn(params, batch_stats, images, widths, labels, label_lengths):
+        x = preprocess.rec_normalize(images)
+        (logits, frame_lengths), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, widths, train=True, mutable=["batch_stats"])
+        loss = ctc.ctc_loss(logits, frame_lengths, labels, label_lengths)
+        return loss, updates["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state,
+                   images, widths, labels, label_lengths):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, widths, labels, label_lengths)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    return train_step
+
+
+def evaluate_exact_match(model, variables, charset, batches) -> float:
+    """Fraction of lines whose greedy decode equals the ground-truth text."""
+
+    @jax.jit
+    def fwd(images, widths):
+        x = preprocess.rec_normalize(images)
+        logits, fl = model.apply(variables, x, widths)
+        return ctc.ctc_greedy_decode(logits, fl, max_tokens=64)
+
+    hits = total = 0
+    for lb in batches:
+        toks, n, _ = fwd(jnp.asarray(lb.images), jnp.asarray(lb.widths))
+        toks, n = np.asarray(toks), np.asarray(n)
+        for i, text in enumerate(lb.texts):
+            hits += int(charset.decode(toks[i][: n[i]]) == text)
+            total += 1
+    return hits / max(total, 1)
+
+
+def train_rec(
+    config: Optional[OcrConfig] = None,
+    charset: Optional[Charset] = None,
+    steps: int = 1500,
+    batch_size: int = 64,
+    width: int = 192,
+    lr: float = 1e-3,
+    seed: int = 0,
+    max_len: int = 10,
+    log_every: int = 100,
+    log: Callable[[str], None] = print,
+) -> TrainResult:
+    config = config or OcrConfig()
+    charset = charset or default_charset()
+    model = create_crnn(config, charset.num_classes)
+    rng = np.random.RandomState(seed)
+
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, config.rec_height, width, 1), jnp.float32))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(100, steps // 10 + 1), steps)),
+    )
+    opt_state = tx.init(params)
+    train_step = make_train_step(model, tx)
+
+    history = []
+    t0 = time.time()
+    for step in range(1, steps + 1):
+        lb = synth.make_line_batch(
+            rng, charset, batch_size, width, config.rec_height,
+            max_len=max_len)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state,
+            jnp.asarray(lb.images), jnp.asarray(lb.widths),
+            jnp.asarray(lb.labels), jnp.asarray(lb.label_lengths))
+        if step % log_every == 0 or step == steps:
+            loss = float(loss)
+            history.append((step, loss))
+            log(f"[rec {step}/{steps}] loss={loss:.4f} "
+                f"({time.time() - t0:.0f}s)")
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    eval_rng = np.random.RandomState(seed + 777)
+    eval_batches = [
+        synth.make_line_batch(eval_rng, charset, 32, width,
+                              config.rec_height, max_len=max_len)
+        for _ in range(4)
+    ]
+    em = evaluate_exact_match(model, variables, charset, eval_batches)
+    log(f"[rec] eval exact-match: {em:.3f}")
+    return TrainResult(variables, history, em)

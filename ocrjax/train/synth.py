@@ -1,0 +1,162 @@
+"""Synthetic text rendering for training and tests.
+
+No datasets or network exist in this environment (SURVEY.md §0), so training
+data is rendered: text-line strips for the CRNN (C1/C4) and full pages with
+known line quads for the DB detector (C2/C3/C5). Ground truth is exact by
+construction, which also makes end-to-end string tests meaningful
+(SURVEY.md §7 step 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from ocrjax.charset import Charset
+
+FONTS = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+]
+
+_font_cache = {}
+
+
+def _font(path: str, size: int) -> ImageFont.FreeTypeFont:
+    key = (path, size)
+    if key not in _font_cache:
+        _font_cache[key] = ImageFont.truetype(path, size)
+    return _font_cache[key]
+
+
+def render_line(
+    text: str,
+    height: int = 32,
+    font_path: str = FONTS[0],
+    rng: Optional[np.random.RandomState] = None,
+    noise: float = 0.0,
+    pad: int = 4,
+) -> np.ndarray:
+    """Render text as a dark-on-light grayscale strip of the given height."""
+    font = _font(font_path, int(height * 0.72))
+    dummy = Image.new("L", (8, 8))
+    bbox = ImageDraw.Draw(dummy).textbbox((0, 0), text, font=font)
+    w = max(bbox[2] - bbox[0], 1) + 2 * pad
+    img = Image.new("L", (w, height), 255)
+    draw = ImageDraw.Draw(img)
+    y = (height - (bbox[3] - bbox[1])) // 2 - bbox[1]
+    draw.text((pad - bbox[0], y), text, font=font, fill=0)
+    arr = np.asarray(img, np.uint8)
+    if noise > 0 and rng is not None:
+        g = rng.randn(*arr.shape) * noise * 255
+        arr = np.clip(arr.astype(np.float32) + g, 0, 255).astype(np.uint8)
+    return arr
+
+
+def random_text(rng: np.random.RandomState, charset: Charset,
+                min_len: int = 1, max_len: int = 12) -> str:
+    n = rng.randint(min_len, max_len + 1)
+    chars = charset.chars
+    idx = rng.randint(0, len(chars), size=n)
+    text = "".join(chars[i] for i in idx)
+    # leading/trailing spaces are invisible to rendering -> unlearnable
+    return text.strip() or chars[rng.randint(0, len(chars))]
+
+
+@dataclasses.dataclass
+class LineBatch:
+    images: np.ndarray        # (B, 32, W) uint8
+    widths: np.ndarray        # (B,) int32
+    labels: np.ndarray        # (B, U) int32, 0-padded
+    label_lengths: np.ndarray # (B,) int32
+    texts: List[str]
+
+
+def make_line_batch(
+    rng: np.random.RandomState,
+    charset: Charset,
+    batch_size: int,
+    width: int,
+    height: int = 32,
+    max_label: int = 24,
+    min_len: int = 1,
+    max_len: int = 12,
+    noise: float = 0.02,
+    fonts: Sequence[str] = FONTS,
+) -> LineBatch:
+    """Random rendered lines padded to a fixed (batch, height, width)."""
+    images = np.zeros((batch_size, height, width), np.uint8)
+    widths = np.zeros((batch_size,), np.int32)
+    labels = np.zeros((batch_size, max_label), np.int32)
+    label_lengths = np.zeros((batch_size,), np.int32)
+    texts = []
+    for b in range(batch_size):
+        while True:
+            text = random_text(rng, charset, min_len, max_len)
+            strip = render_line(
+                text, height, fonts[rng.randint(len(fonts))], rng, noise)
+            if strip.shape[1] <= width and len(text) <= max_label:
+                break
+        w = strip.shape[1]
+        images[b, :, :w] = strip
+        widths[b] = w
+        ids = charset.encode(text)
+        labels[b, : len(ids)] = ids
+        label_lengths[b] = len(ids)
+        texts.append(text)
+    return LineBatch(images, widths, labels, label_lengths, texts)
+
+
+# ---------------------------------------------------------------------------
+# Pages (detection ground truth)
+# ---------------------------------------------------------------------------
+
+def render_page(
+    rng: np.random.RandomState,
+    charset: Charset,
+    size: Tuple[int, int] = (640, 640),
+    n_lines: Tuple[int, int] = (3, 8),
+    text_height: Tuple[int, int] = (18, 42),
+    max_len: int = 14,
+    noise: float = 0.01,
+) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
+    """A page image with non-overlapping text lines at random positions.
+
+    Returns (page uint8 (H, W), quads [(4,2) float32 clockwise from TL],
+    texts). Quads are the tight ink bounding boxes.
+    """
+    H, W = size
+    page = np.full((H, W), 255, np.uint8)
+    quads, texts = [], []
+    occupied = np.zeros((H, W), bool)
+    n = rng.randint(n_lines[0], n_lines[1] + 1)
+    for _ in range(n):
+        for _attempt in range(20):
+            th = rng.randint(text_height[0], text_height[1] + 1)
+            text = random_text(rng, charset, 2, max_len)
+            strip = render_line(text, th, FONTS[rng.randint(len(FONTS))],
+                                rng, noise, pad=2)
+            sh, sw = strip.shape
+            if sw >= W - 4 or sh >= H - 4:
+                continue
+            x = rng.randint(2, W - sw - 2)
+            y = rng.randint(2, H - sh - 2)
+            # margin so neighboring boxes stay separable after binarization
+            y0, y1 = max(0, y - 6), min(H, y + sh + 6)
+            x0, x1 = max(0, x - 6), min(W, x + sw + 6)
+            if occupied[y0:y1, x0:x1].any():
+                continue
+            page[y:y + sh, x:x + sw] = np.minimum(
+                page[y:y + sh, x:x + sw], strip)
+            occupied[y0:y1, x0:x1] = True
+            quads.append(np.array(
+                [[x, y], [x + sw, y], [x + sw, y + sh], [x, y + sh]],
+                np.float32))
+            texts.append(text)
+            break
+    return page, quads, texts

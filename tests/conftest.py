@@ -11,7 +11,6 @@ the module-level os.environ writes at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,7 +20,22 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# FORCE cpu at the *config* level: the driver's sitecustomize registers the
+# axon (remote-TPU-tunnel) PJRT plugin and pins jax_platforms=axon in a way
+# that overrides the JAX_PLATFORMS env var. Without this override every op —
+# including "CPU" unit tests — round-trips the network tunnel (~100x slower,
+# and no virtual 8-device mesh). Set OCRJAX_TEST_TPU=1 to run tpu-marked
+# tests on the real chip instead.
+if not os.environ.get("OCRJAX_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_debug_nans", False)  # flipped on per-test where useful
+
+# Persistent compilation cache: CRNN/DB graphs compile once per machine, not
+# once per pytest invocation (first run is slow; reruns are seconds).
+jax.config.update("jax_compilation_cache_dir", "/tmp/ocrjax_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_configure(config):

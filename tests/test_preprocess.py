@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from ocrjax import preprocess
+from ocrjax.config import TINY, OcrConfig
+
+
+def test_load_image_array_passthrough():
+    img = np.random.RandomState(0).randint(0, 255, (20, 30, 3), np.uint8)
+    out = preprocess.load_image(img)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_load_image_gray_broadcast():
+    img = np.random.RandomState(0).randint(0, 255, (20, 30), np.uint8)
+    out = preprocess.load_image(img)
+    assert out.shape == (20, 30, 3)
+    np.testing.assert_array_equal(out[..., 0], img)
+
+
+def test_load_image_file_roundtrip(tmp_path):
+    import cv2
+    img = np.random.RandomState(0).randint(0, 255, (16, 24, 3), np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    out = preprocess.load_image(p)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_load_image_missing_file():
+    with pytest.raises(FileNotFoundError):
+        preprocess.load_image("/nonexistent/image.png")
+
+
+def test_rec_resize_aspect():
+    img = np.zeros((64, 200), np.uint8)
+    out = preprocess.rec_resize(img, 32)
+    assert out.shape == (32, 100)
+
+
+def test_det_canvas_fixed_shape_and_scale():
+    cfg = OcrConfig(det_max_side=256)
+    img = np.full((100, 400, 3), 200, np.uint8)
+    canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(img, cfg)
+    assert canvas.shape == (256, 256, 3)
+    assert nw == 256 and nh == 64
+    assert abs(scale - 0.64) < 1e-6
+    assert canvas[:nh, :nw].mean() > 190          # content area
+    assert canvas[nh:].sum() == 0                 # padding is zero
+
+
+def test_det_canvas_never_upscales():
+    cfg = OcrConfig(det_max_side=256)
+    img = np.full((50, 60, 3), 99, np.uint8)
+    canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(img, cfg)
+    assert (nh, nw) == (50, 60) and scale == 1.0
+
+
+def test_pad_strips_to_bucket():
+    strips = [np.ones((32, 50), np.uint8), np.ones((32, 120), np.uint8)]
+    batch, widths = preprocess.pad_strips_to_bucket(strips, TINY)
+    assert batch.shape == (2, 32, 128)   # TINY buckets: (64, 128)
+    np.testing.assert_array_equal(widths, [50, 120])
+    assert batch[0, :, 50:].sum() == 0
+
+
+def test_rec_normalize_range():
+    batch = np.zeros((1, 32, 64), np.uint8)
+    batch[0, :, :32] = 255
+    out = np.asarray(preprocess.rec_normalize(batch))
+    assert out.shape == (1, 32, 64, 1)
+    assert abs(out[0, 0, 0, 0] - 1.0) < 1e-6
+    assert abs(out[0, 0, 40, 0] + 1.0) < 1e-6
+
+
+def test_det_normalize_imagenet():
+    canvas = np.full((8, 8, 3), 255, np.uint8)
+    out = np.asarray(preprocess.det_normalize(canvas))
+    assert out.shape == (1, 8, 8, 3)
+    np.testing.assert_allclose(
+        out[0, 0, 0], (1.0 - np.array([0.485, 0.456, 0.406])) /
+        np.array([0.229, 0.224, 0.225]), rtol=1e-5)
