@@ -98,8 +98,18 @@ def make_line_batch(
     for b in range(batch_size):
         while True:
             text = random_text(rng, charset, min_len, max_len)
+            # scale augmentation: render at a random native height and
+            # resize to the model height, so inference is robust to
+            # upscaled/downscaled inputs (rec_resize does the same at
+            # serving time for arbitrary crops).
+            render_h = int(rng.randint(height * 2 // 3, height * 2))
             strip = render_line(
-                text, height, fonts[rng.randint(len(fonts))], rng, noise)
+                text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
+            if render_h != height:
+                import cv2
+                new_w = max(1, int(round(strip.shape[1] * height / render_h)))
+                strip = cv2.resize(strip, (new_w, height),
+                                   interpolation=cv2.INTER_LINEAR)
             if strip.shape[1] <= width and len(text) <= max_label:
                 break
         w = strip.shape[1]

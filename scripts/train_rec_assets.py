@@ -1,0 +1,73 @@
+"""Train the flagship CRNN on synthetic text and write assets/rec.safetensors.
+
+Runs on whatever jax's default platform is (the real TPU under the driver's
+axon env; pass --cpu to force local CPU). Produces the checked-in toy weights
+that make string-level tests and the CLI meaningful (SURVEY.md §7 step 3 —
+no pretrained checkpoints or datasets exist in this offline environment).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--max-len", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print("devices:", jax.devices(), flush=True)
+
+    from ocrjax import weights as W
+    from ocrjax.charset import default_charset
+    from ocrjax.config import OcrConfig
+    from ocrjax.train.rec_trainer import train_rec
+
+    # Flagship "small" config: real two-stage production models are compact
+    # (PP-OCR class); this keeps checked-in assets under ~10 MB while leaving
+    # the MXU path (bf16 convs + LSTM matmuls) representative.
+    config = OcrConfig(
+        rec_hidden=160,
+        rec_conv_channels=(32, 64, 128, 256),
+    )
+    charset = default_charset()
+
+    result = train_rec(
+        config=config, charset=charset, steps=args.steps,
+        batch_size=args.batch, width=args.width, lr=args.lr,
+        seed=args.seed, max_len=args.max_len,
+        log=lambda m: print(m, flush=True),
+    )
+
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "rec.safetensors")
+    cfg_json = json.dumps({
+        "rec_hidden": config.rec_hidden,
+        "rec_conv_channels": list(config.rec_conv_channels),
+    })
+    W.save_variables(out, result.variables, metadata={
+        "kind": "crnn",
+        "config": cfg_json,
+        "exact_match": f"{result.exact_match:.4f}",
+        "steps": str(args.steps),
+    })
+    W.save_charset_sidecar(out, charset)
+    print("saved", out, "exact_match", result.exact_match, flush=True)
+
+
+if __name__ == "__main__":
+    main()

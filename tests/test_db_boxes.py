@@ -1,0 +1,134 @@
+"""On-device DB box extraction vs host cv2 parity (SURVEY.md §4.2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocrjax.postprocess.db_boxes import extract_boxes, label_components
+from ocrjax.postprocess.host_boxes import extract_boxes_host, unclip_polygon
+
+
+def _synthetic_prob(rects, shape=(128, 128), val=0.9):
+    prob = np.zeros(shape, np.float32)
+    for (x0, y0, x1, y1) in rects:
+        prob[y0:y1, x0:x1] = val
+    return prob
+
+
+def _iou_aabb(a, b):
+    ax0, ay0 = a.min(axis=0); ax1, ay1 = a.max(axis=0)
+    bx0, by0 = b.min(axis=0); bx1, by1 = b.max(axis=0)
+    ix = max(0, min(ax1, bx1) - max(ax0, bx0))
+    iy = max(0, min(ay1, by1) - max(ay0, by0))
+    inter = ix * iy
+    ua = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+    return inter / max(ua, 1e-9)
+
+
+def test_label_components_counts():
+    bm = np.zeros((32, 32), bool)
+    bm[2:6, 2:10] = True
+    bm[20:26, 18:30] = True
+    bm[10, 15] = True  # single pixel
+    labels = np.asarray(label_components(jnp.asarray(bm), 16))
+    fg_labels = labels[bm]
+    assert len(np.unique(fg_labels)) == 3
+    assert (labels[~bm] >= 2 ** 30).all()
+
+
+def test_label_components_long_snake():
+    # a long thin S-shape — pointer jumping must converge way under H*W steps
+    bm = np.zeros((64, 64), bool)
+    bm[2, 2:60] = True
+    bm[2:40, 59] = True
+    bm[39, 4:60] = True
+    labels = np.asarray(label_components(jnp.asarray(bm), 24))
+    assert len(np.unique(labels[bm])) == 1
+
+
+def test_extract_single_rect():
+    prob = _synthetic_prob([(20, 30, 80, 50)])
+    out = extract_boxes(jnp.asarray(prob), max_candidates=16)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 1
+    box = np.asarray(out["boxes"])[valid][0]
+    score = np.asarray(out["scores"])[valid][0]
+    assert abs(score - 0.9) < 1e-3
+    # unclipped box contains the seed rect
+    assert box[:, 0].min() <= 20 and box[:, 0].max() >= 79
+    assert box[:, 1].min() <= 30 and box[:, 1].max() >= 49
+
+
+def test_extract_multiple_and_order():
+    rects = [(10, 10, 40, 20), (60, 12, 110, 26), (15, 70, 100, 90)]
+    prob = _synthetic_prob(rects)
+    out = extract_boxes(jnp.asarray(prob), max_candidates=16)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 3
+    boxes = np.asarray(out["boxes"])[valid]
+    # raster-order determinism: first root encountered first
+    assert boxes[0][:, 1].mean() < boxes[2][:, 1].mean()
+
+
+def test_score_filter_drops_weak():
+    prob = _synthetic_prob([(10, 10, 40, 20)], val=0.9)
+    prob[60:70, 10:40] = 0.4  # above thresh, below box_thresh
+    out = extract_boxes(jnp.asarray(prob), thresh=0.3, box_thresh=0.6,
+                        max_candidates=16)
+    assert np.asarray(out["valid"]).sum() == 1
+
+
+def test_min_size_filter():
+    prob = _synthetic_prob([(10, 10, 12, 12)])  # 2x2 — below min 3
+    out = extract_boxes(jnp.asarray(prob), max_candidates=16)
+    assert np.asarray(out["valid"]).sum() == 0
+
+
+def test_rotated_component_gets_oriented_box():
+    # diagonal bar at 45°: PCA box must be much tighter than the AABB
+    prob = np.zeros((128, 128), np.float32)
+    for i in range(60):
+        prob[30 + i, 30 + i] = 0.95
+        prob[31 + i, 30 + i] = 0.95
+        prob[30 + i, 31 + i] = 0.95
+    out = extract_boxes(jnp.asarray(prob), max_candidates=8, min_box_size=1,
+                        unclip_ratio=0.0)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 1
+    box = np.asarray(out["boxes"])[valid][0]
+    e1 = np.linalg.norm(box[1] - box[0])
+    e2 = np.linalg.norm(box[3] - box[0])
+    long, short = max(e1, e2), min(e1, e2)
+    assert long > 70          # ~60*sqrt(2)
+    assert short < 10         # thin bar, not the 60-wide AABB
+
+
+def test_device_vs_host_parity_axis_aligned():
+    rects = [(20, 30, 80, 50), (16, 70, 116, 94)]
+    prob = _synthetic_prob(rects)
+    dev = extract_boxes(jnp.asarray(prob), max_candidates=16)
+    valid = np.asarray(dev["valid"])
+    dev_boxes = np.asarray(dev["boxes"])[valid]
+    host_boxes, host_scores = extract_boxes_host(prob)
+    assert len(host_boxes) == len(dev_boxes) == 2
+    # match by IoU — same regions, near-identical extents
+    for hb in host_boxes:
+        ious = [_iou_aabb(hb, db) for db in dev_boxes]
+        assert max(ious) > 0.85, (hb, dev_boxes)
+
+
+def test_unclip_polygon_rect_exact():
+    rect = np.array([[10, 10], [50, 10], [50, 30], [10, 30]], np.float32)
+    # area=800, perim=120, ratio=1.5 → δ=10
+    out = unclip_polygon(rect, 1.5)
+    assert out.shape == (4, 2)
+    xs, ys = out[:, 0], out[:, 1]
+    np.testing.assert_allclose(sorted(set(np.round(xs))), [0, 60], atol=1e-4)
+    np.testing.assert_allclose(sorted(set(np.round(ys))), [0, 40], atol=1e-4)
+
+
+def test_empty_prob_map():
+    out = extract_boxes(jnp.zeros((64, 64)), max_candidates=8)
+    assert np.asarray(out["valid"]).sum() == 0
+    hb, hs = extract_boxes_host(np.zeros((64, 64), np.float32))
+    assert len(hb) == 0
