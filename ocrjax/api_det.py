@@ -1,0 +1,180 @@
+"""Detection and end-to-end OCR paths of the public API (SURVEY.md §2.1 R9).
+
+Split out of api.py so the C1-only path doesn't import the detector. All
+device work is fused jit programs with static bucket shapes; the host touches
+data exactly twice per page batch (SURVEY.md §3.6): downloading the candidate
+boxes/mask (to pick buckets + map coords) and downloading decoded token ids.
+
+Call structure for ocr():
+  canvas = det_resize_to_canvas(img)            # host resize to fixed S×S
+  prob   = jit[det_normalize → DB fwd]          # one compile ever
+  cand   = jit[extract_boxes]                   # on-device CCL/boxes
+  (host: pick (count, width) buckets from the valid mask)
+  strips = jit[warp_quads]                      # batched gather from canvas
+  tokens = jit[rec_normalize → CRNN → CTC]      # per-bucket compile
+  (host: charset lookup + reading-order sort)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrjax import geometry, preprocess
+from ocrjax.models.db import create_db
+from ocrjax.ops import ctc
+from ocrjax.ops.warp import warp_quads
+from ocrjax.postprocess import db_boxes
+
+
+class _DetState:
+    """Lazily-built detection stage owned by an OcrEngine."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        cfg = engine.config
+        self.model = create_db(cfg)
+        if engine.det_variables is None:
+            canvas = jnp.zeros((1, cfg.det_max_side, cfg.det_max_side, 3),
+                               jnp.float32)
+            engine.det_variables = self.model.init(
+                jax.random.PRNGKey(1), canvas)
+        self.variables = engine.det_variables
+
+        @jax.jit
+        def forward(variables, canvas_u8):
+            x = preprocess.det_normalize(
+                canvas_u8, cfg.det_mean, cfg.det_std)
+            prob = self.model.apply(variables, x)["prob"]
+            out = jax.vmap(
+                lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob)
+            return prob, out
+
+        self.forward = forward
+
+
+def _det_state(engine) -> _DetState:
+    if engine._det is None:
+        engine._det = _DetState(engine)
+    return engine._det
+
+
+def _detect_canvas(engine, image):
+    """Runs detection; returns (canvas u8, scale, candidates-on-host)."""
+    img = preprocess.load_image(image)
+    canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(
+        img, engine.config)
+    st = _det_state(engine)
+    prob, cand = st.forward(st.variables, jnp.asarray(canvas[None]))
+    boxes = np.asarray(cand["boxes"])[0]
+    scores = np.asarray(cand["scores"])[0]
+    valid = np.asarray(cand["valid"])[0]
+    # drop candidates whose center lies in canvas padding
+    cx = boxes[:, :, 0].mean(axis=1)
+    cy = boxes[:, :, 1].mean(axis=1)
+    valid = valid & (cx < nw) & (cy < nh)
+    return img, canvas, scale, boxes, scores, valid
+
+
+def detect(engine, image) -> List["DetBox"]:
+    """C2: full page → quads + scores in original image coords
+    (BASELINE.json:8), reading-ordered."""
+    from ocrjax.api import DetBox
+
+    _, _, scale, boxes, scores, valid = _detect_canvas(engine, image)
+    quads = [geometry.scale_quads(boxes[i], scale) for i in np.where(valid)[0]]
+    ss = scores[valid]
+    order = geometry.sort_reading_order(quads)
+    return [DetBox(quads[i], float(ss[i])) for i in order]
+
+
+def ocr(engine, image, beam: bool = False) -> "OcrResult":
+    """C3: detect → batched on-device warp → recognize → ordered text
+    (BASELINE.json:9)."""
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+
+    cfg = engine.config
+    img, canvas, scale, boxes, scores, valid = _detect_canvas(engine, image)
+    idx = np.where(valid)[0]
+    if len(idx) == 0:
+        return OcrResult(lines=[])
+
+    # host decision: bucket count + strip width bucket (SURVEY.md §2.3 N13)
+    quads_canvas = boxes[idx]                                  # (n, 4, 2)
+    n = len(idx)
+    nb = cfg.line_bucket_for_count(n)
+    pad = nb - n
+    if pad:
+        quads_canvas = np.concatenate(
+            [quads_canvas, np.tile(quads_canvas[-1:], (pad, 1, 1))], axis=0)
+
+    # gray + normalize the canvas once on device, then batched warp
+    gray = preprocess.to_gray(canvas).astype(np.float32)
+    gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
+    est_w = _estimate_strip_widths(quads_canvas[:n], cfg.rec_height)
+    bucket_w = cfg.rec_bucket_for_width(int(est_w.max(initial=1)))
+    strips, widths = warp_quads(
+        jnp.asarray(gray), jnp.asarray(quads_canvas),
+        rec_height=cfg.rec_height, bucket_width=bucket_w)
+
+    tokens, n_tokens, conf = _rec_strips_jit(
+        engine, strips, widths, beam=beam)
+    tokens, n_tokens, conf = map(np.asarray, (tokens, n_tokens, conf))
+
+    quads_orig = [geometry.scale_quads(boxes[i], scale) for i in idx]
+    order = geometry.sort_reading_order(quads_orig)
+    lines = []
+    for k in order:
+        text = engine.charset.decode(tokens[k][: n_tokens[k]])
+        lines.append(OcrLine(
+            box=DetBox(quads_orig[k], float(scores[idx[k]])),
+            text=text, confidence=float(conf[k])))
+    return OcrResult(lines=lines)
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "beam"))
+def _rec_strips_jit(engine, strips, widths, beam: bool = False):
+    """Recognition on already-normalized on-device strips (no u8 roundtrip)."""
+    logits, frame_lengths = engine.rec_model.apply(
+        engine.rec_variables, strips[..., None], widths)
+    decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
+    kw = dict(blank=engine.config.ctc_blank,
+              max_tokens=engine.config.rec_max_tokens)
+    if beam:
+        kw["beam_width"] = engine.config.ctc_beam_width
+    return decode(logits, frame_lengths, **kw)
+
+
+def _estimate_strip_widths(quads: np.ndarray, rec_height: int) -> np.ndarray:
+    e_top = np.linalg.norm(quads[:, 1] - quads[:, 0], axis=-1)
+    e_left = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=-1)
+    return np.round(np.maximum(e_top, 1.0) * rec_height
+                    / np.maximum(e_left, 1.0))
+
+
+def ocr_batch(engine, images: Sequence, beam: bool = False) -> List["OcrResult"]:
+    """C4: batched end-to-end over many pages (BASELINE.json:10).
+
+    v1: sequential per-page pipeline with per-page error isolation (a failed
+    page yields an empty OcrResult, not a batch failure — SURVEY.md §5).
+    The pooled cross-page bucketed recognition pass lives in
+    ocrjax.bucketing and replaces this loop in the C4 milestone.
+    """
+    results = []
+    for image in images:
+        try:
+            results.append(ocr(engine, image, beam=beam))
+        except Exception:  # noqa: BLE001 — per-item isolation by design
+            from ocrjax.api import OcrResult
+            results.append(OcrResult(lines=[]))
+    return results
+
+
+def detect_tiled(engine, image) -> List["DetBox"]:
+    """C5: tiled detection for high-res pages (BASELINE.json:11)."""
+    from ocrjax import tiling
+    return tiling.detect_tiled(engine, image)

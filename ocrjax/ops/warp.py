@@ -1,0 +1,146 @@
+"""Batched perspective crop/rectify of detected quads (SURVEY.md §2.1 R4).
+
+The reference loops over detected quads on host, perspective-warping each
+into an axis-aligned strip with per-pixel scalar math (SURVEY.md §3.1 "host
+loop over N lines"). Here the whole handoff is one fixed-shape device op
+(BASELINE.json:5: "vectorized as a batched gather/warp kernel so whole pages
+stay on-TPU"):
+
+  * homographies for all N quads are solved as one batched 8x8 linear system
+    (DLT from the 4 corner correspondences),
+  * all N strips sample the page through one bilinear gather
+    (N, H_rec, W_bucket) — vmap over quads, XLA gather on device,
+  * per-strip valid widths (aspect-preserving) are returned for CTC masking;
+    pixels beyond a strip's width are zero.
+
+Rotated-rect quads make the homography an affine map — the DLT solve handles
+both that and true perspective quads identically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def solve_homographies(quads: jnp.ndarray, heights: jnp.ndarray,
+                       widths: jnp.ndarray) -> jnp.ndarray:
+    """DLT homographies mapping strip coords → page coords.
+
+    quads: (N, 4, 2) corners TL,TR,BR,BL in page coords.
+    heights/widths: (N,) target strip sizes (the mapped dst rectangle).
+    Returns (N, 3, 3) with H @ [u, v, 1]^T ~ [x, y, 1]^T.
+    """
+    N = quads.shape[0]
+    w = jnp.maximum(widths.astype(jnp.float32), 1.0)
+    h = jnp.maximum(heights.astype(jnp.float32), 1.0)
+    zeros = jnp.zeros((N,), jnp.float32)
+    # dst corners (u, v): TL (0,0), TR (w-1,0), BR (w-1,h-1), BL (0,h-1)
+    dst = jnp.stack([
+        jnp.stack([zeros, zeros], -1),
+        jnp.stack([w - 1, zeros], -1),
+        jnp.stack([w - 1, h - 1], -1),
+        jnp.stack([zeros, h - 1], -1),
+    ], axis=1)                                               # (N, 4, 2)
+    src = quads.astype(jnp.float32)
+
+    def one(dst4, src4):
+        # rows: [u, v, 1, 0, 0, 0, -u*x, -v*x] h = x ; same for y
+        rows = []
+        rhs = []
+        zero = jnp.float32(0.0)
+        one_ = jnp.float32(1.0)
+        for i in range(4):
+            u, v = dst4[i, 0], dst4[i, 1]
+            x, y = src4[i, 0], src4[i, 1]
+            rows.append(jnp.stack(
+                [u, v, one_, zero, zero, zero, -u * x, -v * x]))
+            rows.append(jnp.stack(
+                [zero, zero, zero, u, v, one_, -u * y, -v * y]))
+            rhs.extend([x, y])
+        A = jnp.stack(rows)                                  # (8, 8)
+        b = jnp.stack(rhs)                                   # (8,)
+        # tiny ridge keeps degenerate (zero-area) quads solvable; their
+        # strips are masked out downstream anyway
+        A = A + 1e-6 * jnp.eye(8)
+        sol = jnp.linalg.solve(A, b)
+        return jnp.concatenate([sol, jnp.ones((1,))]).reshape(3, 3)
+
+    return jax.vmap(one)(dst, src)
+
+
+def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """img (H, W) float; x/y sample coords (any shape) → samples."""
+    H, W = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return ((1 - dy) * ((1 - dx) * v00 + dx * v01)
+            + dy * ((1 - dx) * v10 + dx * v11))
+
+
+def quad_strip_widths(quads: jnp.ndarray, rec_height: int,
+                      max_width: int) -> jnp.ndarray:
+    """Aspect-preserving strip widths for each quad (clipped to the bucket)."""
+    e_top = jnp.linalg.norm(quads[:, 1] - quads[:, 0], axis=-1)
+    e_bot = jnp.linalg.norm(quads[:, 2] - quads[:, 3], axis=-1)
+    e_left = jnp.linalg.norm(quads[:, 3] - quads[:, 0], axis=-1)
+    e_right = jnp.linalg.norm(quads[:, 2] - quads[:, 1], axis=-1)
+    # +1: corners sit at pixel centers, so corner-to-corner norms are size-1
+    qw = jnp.maximum(e_top, e_bot) + 1.0
+    qh = jnp.maximum(jnp.maximum(e_left, e_right) + 1.0, 1.0)
+    w = jnp.round(qw * rec_height / qh)
+    return jnp.clip(w, 1, max_width).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
+def warp_quads(
+    page: jnp.ndarray,
+    quads: jnp.ndarray,
+    *,
+    rec_height: int = 32,
+    bucket_width: int = 320,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crop+rectify all quads from a page in one batched gather.
+
+    page: (H, W) float32 (already normalized grayscale).
+    quads: (N, 4, 2) float32 page coords, TL,TR,BR,BL.
+    Returns (strips (N, rec_height, bucket_width) float32 — zero beyond each
+    strip's width; widths (N,) int32).
+    """
+    N = quads.shape[0]
+    widths = quad_strip_widths(quads, rec_height, bucket_width)
+    heights = jnp.full((N,), rec_height, jnp.int32)
+    Hs = solve_homographies(quads, heights, widths)           # (N, 3, 3)
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (rec_height, bucket_width), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (rec_height, bucket_width), 0)
+    ones = jnp.ones_like(u)
+    grid = jnp.stack([u, v, ones], axis=-1)                   # (h, W, 3)
+
+    def one(Hm, w):
+        s = grid @ Hm.T                                       # (h, W, 3)
+        denom = s[..., 2]
+        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        x = s[..., 0] / denom
+        y = s[..., 1] / denom
+        samp = _bilinear_sample(page, x, y)
+        mask = (jax.lax.broadcasted_iota(
+            jnp.int32, samp.shape, 1) < w)
+        return jnp.where(mask, samp, 0.0)
+
+    strips = jax.vmap(one)(Hs, widths)
+    return strips, widths

@@ -1,0 +1,99 @@
+"""DB ground-truth map generation from quads (host NumPy, per batch).
+
+Builds the three training targets of the DB formulation on synthetic pages
+(axis-aligned line quads from ocrjax.train.synth.render_page):
+
+  * gt_shrink: text polygons shrunk by δ = A(1-r²)/P (r=0.4) — the positive
+    region for the prob/binary heads;
+  * gt_thresh + thresh_mask: the border band around each polygon where the
+    threshold head regresses the normalized distance to the polygon edge,
+    scaled into [thresh_min, thresh_max].
+
+Rect-exact implementation (our synthetic quads are rects); distances are
+computed with vectorized NumPy, no per-pixel Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+SHRINK_RATIO = 0.4
+THRESH_MIN = 0.3
+THRESH_MAX = 0.7
+
+
+def _rect_of_quad(quad: np.ndarray) -> Tuple[float, float, float, float]:
+    return (float(quad[:, 0].min()), float(quad[:, 1].min()),
+            float(quad[:, 0].max()), float(quad[:, 1].max()))
+
+
+def db_gt_maps(quads: List[np.ndarray], shape: Tuple[int, int]
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (gt_shrink, gt_thresh, thresh_mask), each (H, W) float32."""
+    H, W = shape
+    gt_shrink = np.zeros((H, W), np.float32)
+    gt_thresh = np.zeros((H, W), np.float32)
+    thresh_mask = np.zeros((H, W), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    for quad in quads:
+        x0, y0, x1, y1 = _rect_of_quad(quad)
+        w, h = x1 - x0, y1 - y0
+        if w <= 2 or h <= 2:
+            continue
+        area, perim = w * h, 2 * (w + h)
+        delta = area * (1 - SHRINK_RATIO ** 2) / perim
+
+        # shrunk positive region
+        sx0, sy0 = x0 + delta, y0 + delta
+        sx1, sy1 = x1 - delta, y1 - delta
+        if sx1 > sx0 and sy1 > sy0:
+            gt_shrink[int(np.ceil(sy0)):int(sy1) + 1,
+                      int(np.ceil(sx0)):int(sx1) + 1] = 1.0
+
+        # border band: |signed distance to rect| <= delta
+        bx0, by0 = max(0, int(x0 - delta) - 1), max(0, int(y0 - delta) - 1)
+        bx1 = min(W, int(np.ceil(x1 + delta)) + 2)
+        by1 = min(H, int(np.ceil(y1 + delta)) + 2)
+        if bx1 <= bx0 or by1 <= by0:
+            continue
+        px = xs[by0:by1, bx0:bx1]
+        py = ys[by0:by1, bx0:bx1]
+        # signed distance to the rect boundary (negative inside)
+        dx = np.maximum(np.maximum(x0 - px, px - x1), 0)
+        dy = np.maximum(np.maximum(y0 - py, py - y1), 0)
+        outside = np.hypot(dx, dy)
+        inside = np.minimum(np.minimum(px - x0, x1 - px),
+                            np.minimum(py - y0, y1 - py))
+        sdist = np.where(outside > 0, outside, -np.clip(inside, 0, None))
+        band = np.abs(sdist) <= delta
+        # 1 at the edge → 0 at band rim, scaled into [min, max]
+        val = 1.0 - np.abs(sdist) / max(delta, 1e-6)
+        val = THRESH_MIN + (THRESH_MAX - THRESH_MIN) * np.clip(val, 0, 1)
+        region_t = gt_thresh[by0:by1, bx0:bx1]
+        region_m = thresh_mask[by0:by1, bx0:bx1]
+        region_t[band] = np.maximum(region_t[band], val[band])
+        region_m[band] = 1.0
+
+    return gt_shrink, gt_thresh, thresh_mask
+
+
+def make_det_batch(rng: np.random.RandomState, charset, batch_size: int,
+                   size: int, n_lines=(3, 8)) -> Tuple[np.ndarray, ...]:
+    """Rendered pages + GT maps: (images u8 (B,S,S,3), gt_shrink, gt_thresh,
+    thresh_mask) — images are RGB broadcast of the gray page."""
+    from ocrjax.train import synth
+
+    imgs = np.zeros((batch_size, size, size, 3), np.uint8)
+    g_shrink = np.zeros((batch_size, size, size), np.float32)
+    g_thresh = np.zeros((batch_size, size, size), np.float32)
+    g_mask = np.zeros((batch_size, size, size), np.float32)
+    for b in range(batch_size):
+        page, quads, _ = synth.render_page(
+            rng, charset, size=(size, size), n_lines=n_lines)
+        imgs[b] = page[..., None]
+        s, t, m = db_gt_maps(quads, (size, size))
+        g_shrink[b], g_thresh[b], g_mask[b] = s, t, m
+    return imgs, g_shrink, g_thresh, g_mask

@@ -1,0 +1,56 @@
+"""Train the flagship DB detector on synthetic pages → assets/det.safetensors.
+
+Run on the TPU (default platform under the driver env); --cpu forces local.
+SURVEY.md §7 step 4 — no pretrained checkpoints exist offline, so detection
+weights are produced here.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=320)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print("devices:", jax.devices(), flush=True)
+
+    from ocrjax import weights as W
+    from ocrjax.charset import default_charset
+    from ocrjax.config import OcrConfig
+    from ocrjax.train.det_trainer import train_det
+
+    config = OcrConfig()
+    result = train_det(
+        config=config, charset=default_charset(), steps=args.steps,
+        batch_size=args.batch, size=args.size, lr=args.lr, seed=args.seed,
+        log=lambda m: print(m, flush=True),
+    )
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "det.safetensors")
+    W.save_variables(out, result.variables, metadata={
+        "kind": "db",
+        "recall": f"{result.recall:.4f}",
+        "precision": f"{result.precision:.4f}",
+        "steps": str(args.steps),
+    })
+    print("saved", out, "recall", result.recall, "precision",
+          result.precision, flush=True)
+
+
+if __name__ == "__main__":
+    main()
