@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: ONE JSON line with the headline metric.
+
+Headline = end-to-end pages/sec/chip (BASELINE.json target: ≥50 on v5e);
+the full report (crops/sec, p50 latency, ...) goes to BENCH_DETAIL.json.
+Runs on the default jax platform (the real TPU under the driver env).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PAGES_PER_SEC = 50.0
+
+
+def main():
+    from ocrjax.bench_lib import run_bench
+
+    report = run_bench(pages=16, lines=256, repeats=3)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(report, f, indent=2)
+
+    value = report["pages_per_sec"]
+    print(json.dumps({
+        "metric": "pages_per_sec_per_chip_e2e",
+        "value": round(value, 2),
+        "unit": "pages/s",
+        "vs_baseline": round(value / BASELINE_PAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

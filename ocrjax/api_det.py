@@ -159,19 +159,12 @@ def _estimate_strip_widths(quads: np.ndarray, rec_height: int) -> np.ndarray:
 def ocr_batch(engine, images: Sequence, beam: bool = False) -> List["OcrResult"]:
     """C4: batched end-to-end over many pages (BASELINE.json:10).
 
-    v1: sequential per-page pipeline with per-page error isolation (a failed
-    page yields an empty OcrResult, not a batch failure — SURVEY.md §5).
-    The pooled cross-page bucketed recognition pass lives in
-    ocrjax.bucketing and replaces this loop in the C4 milestone.
+    Pooled path: one batched DB forward over all canvases, then all pages'
+    line crops bucketed together (ocrjax.bucketing.ocr_pages). Per-page error
+    isolation — a corrupt image yields an empty OcrResult (SURVEY.md §5).
     """
-    results = []
-    for image in images:
-        try:
-            results.append(ocr(engine, image, beam=beam))
-        except Exception:  # noqa: BLE001 — per-item isolation by design
-            from ocrjax.api import OcrResult
-            results.append(OcrResult(lines=[]))
-    return results
+    from ocrjax import bucketing
+    return bucketing.ocr_pages(engine, images, beam=beam)
 
 
 def detect_tiled(engine, image) -> List["DetBox"]:

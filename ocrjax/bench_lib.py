@@ -1,0 +1,88 @@
+"""Benchmark harness (SURVEY.md §6): the three tracked metrics are
+pages/sec/chip end-to-end, text-line crops/sec/chip, and p50 per-page
+latency (BASELINE.json:2). Targets: ≥1000 crops/s/chip, ≥50 pages/s/chip
+on v5e (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _percentile(xs, q):
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
+              weights: Optional[str] = None, cpu: bool = False,
+              width_bucket: int = 320) -> Dict[str, float]:
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ocrjax.api import OcrEngine
+    from ocrjax.charset import default_charset
+    from ocrjax.train import synth
+
+    engine = OcrEngine.from_pretrained(path=weights)
+    cfg = engine.config
+    charset = engine.charset
+    rng = np.random.RandomState(0)
+    report: Dict[str, float] = {
+        "device": str(jax.devices()[0]),
+        "pages": pages, "lines": lines,
+    }
+
+    # ---- recognition throughput: crops/sec/chip ---------------------------
+    n = cfg.line_bucket_for_count(lines)
+    strips = np.zeros((n, cfg.rec_height, width_bucket), np.uint8)
+    widths = np.full((n,), width_bucket, np.int32)
+    for i in range(n):
+        t = synth.random_text(rng, charset, 4, 12)
+        s = synth.render_line(t, cfg.rec_height)
+        w = min(s.shape[1], width_bucket)
+        strips[i, :, :w] = s[:, :w]
+        widths[i] = w
+    strips_d = jnp.asarray(strips)
+    widths_d = jnp.asarray(widths)
+    # warmup/compile
+    jax.block_until_ready(engine._rec_step(
+        engine.rec_variables, strips_d, widths_d))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(engine._rec_step(
+            engine.rec_variables, strips_d, widths_d))
+        times.append(time.perf_counter() - t0)
+    report["crops_per_sec"] = n / min(times)
+    report["rec_batch_ms"] = min(times) * 1e3
+
+    # ---- end-to-end pages/sec + p50 latency --------------------------------
+    imgs = []
+    for _ in range(pages):
+        page, _, _ = synth.render_page(
+            rng, charset, size=(cfg.det_max_side, cfg.det_max_side))
+        imgs.append(np.repeat(page[..., None], 3, axis=2))
+
+    engine.ocr_batch(imgs[:2])  # warmup/compile the det+warp+rec buckets
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        engine.ocr_batch(imgs)
+        times.append(time.perf_counter() - t0)
+    report["pages_per_sec"] = pages / min(times)
+    report["e2e_batch_ms"] = min(times) * 1e3
+
+    lat = []
+    engine.ocr(imgs[0])
+    for i in range(min(8, pages)):
+        t0 = time.perf_counter()
+        engine.ocr(imgs[i])
+        lat.append(time.perf_counter() - t0)
+    report["p50_page_latency_ms"] = _percentile(lat, 50) * 1e3
+
+    return report

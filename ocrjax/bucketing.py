@@ -1,0 +1,134 @@
+"""Width/count bucketing + the pooled batched end-to-end path (C4).
+
+SURVEY.md §2.3 N13 / BASELINE.json:10: a 32-page batch produces hundreds of
+line crops of wildly varying widths. Dynamic shapes would force a recompile
+per page, so crops are pooled ACROSS pages and routed into a fixed set of
+(line-count, strip-width) buckets; each bucket is one cached XLA program.
+Masking (strip widths → CTC frame lengths) keeps padded lanes from
+corrupting decoded strings.
+
+Pipeline (ocr_pages):
+  1. one batched DB forward + on-device box extraction over all canvases;
+  2. host: gather valid quads of all pages, estimate strip widths, group
+     into width buckets;
+  3. per bucket: pooled multi-page warp (one gather) + CRNN + CTC decode;
+  4. scatter decoded lines back to their pages, reading-order per page.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrjax import geometry, preprocess
+from ocrjax.ops.warp import warp_quads_multi
+
+
+def assign_width_buckets(est_widths: np.ndarray, buckets: Sequence[int]
+                         ) -> Dict[int, np.ndarray]:
+    """Group indices by the smallest bucket ≥ estimated width."""
+    out: Dict[int, List[int]] = {}
+    arr = np.asarray(buckets)
+    for i, w in enumerate(est_widths):
+        b = int(arr[np.searchsorted(arr, min(w, arr[-1]))])
+        out.setdefault(b, []).append(i)
+    return {k: np.asarray(v, np.int64) for k, v in out.items()}
+
+
+def pad_count(n: int, cfg) -> int:
+    return cfg.line_bucket_for_count(n)
+
+
+def ocr_pages(engine, images: Sequence, beam: bool = False
+              ) -> List["OcrResult"]:
+    """C4 pooled batched OCR. Returns one OcrResult per input image."""
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+    from ocrjax.api_det import (_det_state, _estimate_strip_widths,
+                                _rec_strips_jit)
+
+    cfg = engine.config
+    B = len(images)
+    if B == 0:
+        return []
+
+    # ---- decode + canvas (host) -------------------------------------------
+    canvases = np.zeros((B, cfg.det_max_side, cfg.det_max_side, 3), np.uint8)
+    scales = np.ones((B,), np.float64)
+    valid_hw = np.zeros((B, 2), np.int64)
+    ok = np.ones((B,), bool)
+    for i, image in enumerate(images):
+        try:
+            img = preprocess.load_image(image)
+            canvases[i], scales[i], valid_hw[i] = \
+                preprocess.det_resize_to_canvas(img, cfg)
+        except Exception:  # noqa: BLE001 — per-page isolation (SURVEY.md §5)
+            ok[i] = False
+
+    # ---- one batched detection program ------------------------------------
+    st = _det_state(engine)
+    prob, cand = st.forward(st.variables, jnp.asarray(canvases))
+    boxes = np.asarray(cand["boxes"])
+    scores = np.asarray(cand["scores"])
+    valid = np.asarray(cand["valid"])
+    for i in range(B):
+        nh, nw = valid_hw[i]
+        cx = boxes[i, :, :, 0].mean(axis=1)
+        cy = boxes[i, :, :, 1].mean(axis=1)
+        valid[i] &= ok[i] & (cx < nw) & (cy < nh)
+
+    # ---- pool quads across pages -------------------------------------------
+    page_ids, quads, qscores, per_page_slots = [], [], [], []
+    for i in range(B):
+        for j in np.where(valid[i])[0]:
+            per_page_slots.append((i, len(quads)))
+            page_ids.append(i)
+            quads.append(boxes[i, j])
+            qscores.append(scores[i, j])
+    results: List[List[OcrLine]] = [[] for _ in range(B)]
+    if not quads:
+        return [OcrResult(lines=r) for r in results]
+
+    page_ids = np.asarray(page_ids, np.int32)
+    quads = np.asarray(quads, np.float32)
+    est_w = _estimate_strip_widths(quads, cfg.rec_height)
+
+    # normalized gray canvases, once, on device
+    gray = np.stack([preprocess.to_gray(c) for c in canvases]).astype(
+        np.float32)
+    gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
+    gray_dev = jnp.asarray(gray)
+
+    # ---- per width-bucket pooled warp + recognize --------------------------
+    texts = [None] * len(quads)
+    confs = [0.0] * len(quads)
+    for bucket_w, idx in assign_width_buckets(
+            est_w, cfg.rec_width_buckets).items():
+        n = len(idx)
+        nb = pad_count(n, cfg)
+        sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
+        strips, widths = warp_quads_multi(
+            gray_dev, jnp.asarray(page_ids[sel]), jnp.asarray(quads[sel]),
+            rec_height=cfg.rec_height, bucket_width=bucket_w)
+        tokens, n_tokens, conf = _rec_strips_jit(
+            engine, strips, widths, beam=beam)
+        tokens, n_tokens, conf = map(np.asarray, (tokens, n_tokens, conf))
+        for k, qi in enumerate(idx):
+            texts[qi] = engine.charset.decode(tokens[k][: n_tokens[k]])
+            confs[qi] = float(conf[k])
+
+    # ---- scatter back, reading order per page ------------------------------
+    for i in range(B):
+        mine = [s for (p, s) in per_page_slots if p == i]
+        if not mine:
+            continue
+        page_quads = [geometry.scale_quads(quads[s], scales[i]) for s in mine]
+        order = geometry.sort_reading_order(page_quads)
+        results[i] = [
+            OcrLine(box=DetBox(page_quads[k], float(qscores[mine[k]])),
+                    text=texts[mine[k]], confidence=confs[mine[k]])
+            for k in order
+        ]
+    return [OcrResult(lines=r) for r in results]

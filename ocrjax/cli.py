@@ -1,0 +1,195 @@
+"""Command-line interface (SURVEY.md §2.1 R10, §2.3 N10).
+
+Mirrors the reference binary's surface: `detect | recognize | ocr` over image
+paths, plus `bench`. Config hyperparameters map 1:1 onto flags; `--json`
+gives structured output; `--profile` dumps a jax profiler trace
+(SURVEY.md §5 tracing).
+
+Usage:
+  python -m ocrjax.cli recognize strip.png
+  python -m ocrjax.cli detect page.png --json
+  python -m ocrjax.cli ocr page1.png page2.png --beam
+  python -m ocrjax.cli ocr huge.png --tiled
+  python -m ocrjax.cli bench --pages 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import List
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ocrjax", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("images", nargs="*", help="image path(s)")
+        sp.add_argument("--weights", default=None,
+                        help="assets dir (default: repo assets/)")
+        sp.add_argument("--json", action="store_true", dest="as_json")
+        sp.add_argument("--cpu", action="store_true",
+                        help="force local CPU backend")
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="dump a jax profiler trace to DIR")
+        # config flags (1:1 with OcrConfig fields; reference-parity defaults)
+        sp.add_argument("--det-thresh", type=float, default=None)
+        sp.add_argument("--det-box-thresh", type=float, default=None)
+        sp.add_argument("--det-unclip-ratio", type=float, default=None)
+        sp.add_argument("--det-max-side", type=int, default=None)
+        sp.add_argument("--charset", default=None,
+                        help="charset dict file (one char per line)")
+
+    sp = sub.add_parser("recognize", help="C1: text-line image → string")
+    common(sp)
+    sp.add_argument("--beam", action="store_true")
+
+    sp = sub.add_parser("detect", help="C2: page → boxes")
+    common(sp)
+    sp.add_argument("--tiled", action="store_true",
+                    help="C5: tiled high-res detection")
+
+    sp = sub.add_parser("ocr", help="C3/C4: page(s) → ordered text")
+    common(sp)
+    sp.add_argument("--beam", action="store_true")
+    sp.add_argument("--tiled", action="store_true")
+
+    sp = sub.add_parser("bench", help="throughput/latency benchmarks")
+    common(sp)
+    sp.add_argument("--pages", type=int, default=16)
+    sp.add_argument("--lines", type=int, default=256)
+    sp.add_argument("--repeats", type=int, default=3)
+    return p
+
+
+def _make_engine(args):
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from ocrjax.api import OcrEngine
+    from ocrjax.charset import Charset
+    from ocrjax.config import OcrConfig
+
+    engine = OcrEngine.from_pretrained(path=args.weights)
+    if args.charset:
+        charset = Charset.from_file(args.charset)
+        if charset.num_classes != engine.charset.num_classes:
+            print(f"error: charset size {charset.num_classes} does not match "
+                  f"the loaded recognizer head ({engine.charset.num_classes})",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        engine.charset = charset
+    overrides = {}
+    for field, flag in [("det_thresh", "det_thresh"),
+                        ("det_box_thresh", "det_box_thresh"),
+                        ("det_unclip_ratio", "det_unclip_ratio"),
+                        ("det_max_side", "det_max_side")]:
+        v = getattr(args, flag)
+        if v is not None:
+            overrides[field] = v
+    if overrides:
+        engine.config = engine.config.replace(**overrides)
+        engine._det = None  # force rebuild with new static config
+    return engine
+
+
+def _profiled(args):
+    import contextlib
+    if not args.profile:
+        return contextlib.nullcontext()
+    import jax
+    return jax.profiler.trace(args.profile)
+
+
+def _quad_list(quad) -> List[List[float]]:
+    return [[round(float(x), 2), round(float(y), 2)] for x, y in quad]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "bench":
+        from ocrjax.bench_lib import run_bench
+        report = run_bench(pages=args.pages, lines=args.lines,
+                           repeats=args.repeats, weights=args.weights,
+                           cpu=args.cpu)
+        print(json.dumps(report) if args.as_json
+              else "\n".join(f"{k}: {v}" for k, v in report.items()))
+        return 0
+
+    if not args.images:
+        print("error: no input images", file=sys.stderr)
+        return 2
+
+    engine = _make_engine(args)
+    out = []
+    with _profiled(args):
+        for path in args.images:
+            t0 = time.perf_counter()
+            if args.cmd == "recognize":
+                r = engine.recognize(path, beam=args.beam)
+                out.append({"image": path, "text": r.text,
+                            "confidence": round(r.confidence, 4)})
+            elif args.cmd == "detect":
+                boxes = (engine.detect_tiled(path) if args.tiled
+                         else engine.detect(path))
+                out.append({"image": path, "boxes": [
+                    {"quad": _quad_list(b.quad),
+                     "score": round(b.score, 4)} for b in boxes]})
+            else:  # ocr
+                if args.tiled:
+                    res = _ocr_tiled(engine, path, beam=args.beam)
+                else:
+                    res = engine.ocr(path, beam=args.beam)
+                out.append({"image": path, "text": res.text, "lines": [
+                    {"text": l.text, "confidence": round(l.confidence, 4),
+                     "quad": _quad_list(l.box.quad),
+                     "score": round(l.box.score, 4)} for l in res.lines]})
+            out[-1]["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+    if args.as_json:
+        print(json.dumps(out, indent=2))
+    else:
+        for item in out:
+            print(f"== {item['image']} ({item['ms']} ms)")
+            if args.cmd == "recognize":
+                print(item["text"])
+            elif args.cmd == "detect":
+                for b in item["boxes"]:
+                    print(f"  {b['quad']} score={b['score']}")
+            else:
+                print(item["text"])
+    return 0
+
+
+def _ocr_tiled(engine, path, beam=False):
+    """C5 end-to-end: tiled detect, then recognize crops from the original
+    image at full resolution (no canvas downscale for recognition)."""
+    from ocrjax import preprocess
+    from ocrjax.api import OcrLine, OcrResult
+
+    boxes = engine.detect_tiled(path)
+    if not boxes:
+        return OcrResult(lines=[])
+    img = preprocess.to_gray(preprocess.load_image(path))
+    strips = []
+    for b in boxes:
+        x0 = int(max(0, np.floor(b.quad[:, 0].min())))
+        x1 = int(min(img.shape[1], np.ceil(b.quad[:, 0].max()) + 1))
+        y0 = int(max(0, np.floor(b.quad[:, 1].min())))
+        y1 = int(min(img.shape[0], np.ceil(b.quad[:, 1].max()) + 1))
+        strips.append(img[y0:y1, x0:x1])
+    rs = engine.recognize_strips(strips, beam=beam)
+    return OcrResult(lines=[
+        OcrLine(box=b, text=r.text, confidence=r.confidence)
+        for b, r in zip(boxes, rs)])
+
+
+import numpy as np  # noqa: E402  (used by _ocr_tiled)
+
+if __name__ == "__main__":
+    raise SystemExit(main())

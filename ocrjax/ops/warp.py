@@ -144,3 +144,42 @@ def warp_quads(
 
     strips = jax.vmap(one)(Hs, widths)
     return strips, widths
+
+
+@functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
+def warp_quads_multi(
+    pages: jnp.ndarray,
+    page_ids: jnp.ndarray,
+    quads: jnp.ndarray,
+    *,
+    rec_height: int = 32,
+    bucket_width: int = 320,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pooled multi-page variant (C4): quads may come from different pages.
+
+    pages: (B, H, W) float32 normalized grayscale canvases.
+    page_ids: (N,) int32 page index per quad.
+    quads: (N, 4, 2) float32 in canvas coords.
+    One batched gather for ALL line crops of the whole page batch.
+    """
+    N = quads.shape[0]
+    widths = quad_strip_widths(quads, rec_height, bucket_width)
+    heights = jnp.full((N,), rec_height, jnp.int32)
+    Hs = solve_homographies(quads, heights, widths)
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (rec_height, bucket_width), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (rec_height, bucket_width), 0)
+    grid = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
+
+    def one(Hm, w, pid):
+        page = jax.lax.dynamic_index_in_dim(pages, pid, 0, keepdims=False)
+        s = grid @ Hm.T
+        denom = s[..., 2]
+        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        samp = _bilinear_sample(page, s[..., 0] / denom, s[..., 1] / denom)
+        mask = (jax.lax.broadcasted_iota(
+            jnp.int32, samp.shape, 1) < w)
+        return jnp.where(mask, samp, 0.0)
+
+    strips = jax.vmap(one)(Hs, widths, page_ids.astype(jnp.int32))
+    return strips, widths

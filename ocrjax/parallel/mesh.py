@@ -1,0 +1,131 @@
+"""Device mesh + sharding (SURVEY.md §2.2, §2.3 N7).
+
+The reference has no distributed layer at all — a single libtorch process
+(SURVEY.md §2.2: "Communication backend: none"). The TPU rebuild scales via
+GSPMD: a (dp, tp) `jax.sharding.Mesh`, batch axes sharded over "dp", the
+recognizer's projection matmuls sharded over "tp", params otherwise
+replicated. XLA inserts the collectives (grad psum over dp, logits
+all-gather over tp) — no hand-written NCCL-style calls, and they ride ICI on
+a real pod. On 1 chip everything degrades to no-ops, so the annotations are
+zero-cost (SURVEY.md §2.2 "mesh-ready DP").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,
+              devices=None) -> Mesh:
+    """(dp, tp) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_dp is None:
+        n_dp = n // n_tp
+    if n_dp * n_tp != n:
+        raise ValueError(f"{n_dp}x{n_tp} mesh != {n} devices")
+    arr = np.array(devices).reshape(n_dp, n_tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over dp, rest replicated."""
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """device_put every array with its leading axis split over dp."""
+    def put(x):
+        x = jnp.asarray(x)
+        # P("dp") shards axis 0; trailing axes are implicitly replicated
+        return jax.device_put(x, NamedSharding(mesh, P(DP_AXIS)))
+    return jax.tree.map(put, tree)
+
+
+def _param_spec(path: tuple, value, n_tp: int) -> P:
+    """TP sharding rule for CRNN params: Dense/projection kernels split on
+    the output features axis; everything else replicated.
+
+    Path entries are flax dict keys, e.g. ('Dense_0', 'kernel').
+    """
+    names = [getattr(p, "key", str(p)) for p in path]
+    leaf = names[-1] if names else ""
+    if leaf == "kernel" and value.ndim == 2 and any(
+            "Dense" in n for n in names):
+        if value.shape[1] % n_tp == 0:
+            return P(None, TP_AXIS)
+    return P()
+
+
+def shard_params(mesh: Mesh, variables: Any) -> Any:
+    """Apply the TP rules to a flax variables tree (replicate the rest)."""
+    n_tp = mesh.shape[TP_AXIS]
+
+    def put(path, x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, NamedSharding(
+            mesh, _param_spec(path, x, n_tp)))
+
+    return jax.tree_util.tree_map_with_path(put, variables)
+
+
+# ---------------------------------------------------------------------------
+# Sharded recognition training step (the multi-chip path the driver dry-runs)
+# ---------------------------------------------------------------------------
+
+def make_sharded_rec_train_step(model, tx, mesh: Mesh):
+    """Rec train step jit'd over the mesh: dp-sharded batch, tp-sharded
+    projection. Identical math to ocrjax.train.rec_trainer.make_train_step —
+    GSPMD handles the cross-device reductions."""
+    from ocrjax import preprocess
+    from ocrjax.ops import ctc
+
+    def loss_fn(params, batch_stats, images, widths, labels, label_lengths):
+        x = preprocess.rec_normalize(images)
+        (logits, frame_lengths), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, widths, train=True, mutable=["batch_stats"])
+        loss = ctc.ctc_loss(logits, frame_lengths, labels, label_lengths)
+        return loss, updates["batch_stats"]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, batch_stats, opt_state,
+             images, widths, labels, label_lengths):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, widths, labels, label_lengths)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    return step
+
+
+def init_sharded_rec_state(config, charset, mesh: Mesh, width: int = 64,
+                           lr: float = 1e-3, seed: int = 0):
+    """Init CRNN train state with params/opt-state laid out on the mesh."""
+    from ocrjax.models.crnn import create_crnn
+
+    model = create_crnn(config, charset.num_classes)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, config.rec_height, width, 1), jnp.float32))
+    variables = shard_params(mesh, variables)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(lr)
+    opt_state = jax.tree.map(
+        lambda x: x, tx.init(params))  # inherits param shardings
+    return model, tx, params, batch_stats, opt_state

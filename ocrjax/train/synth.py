@@ -101,8 +101,10 @@ def make_line_batch(
             # scale augmentation: render at a random native height and
             # resize to the model height, so inference is robust to
             # upscaled/downscaled inputs (rec_resize does the same at
-            # serving time for arbitrary crops).
-            render_h = int(rng.randint(height * 2 // 3, height * 2))
+            # serving time for arbitrary crops). A third of samples stay at
+            # the native height so the resize-free path is also sharp.
+            render_h = (height if rng.rand() < 0.34
+                        else int(rng.randint(height * 2 // 3, height * 2)))
             strip = render_line(
                 text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
             if render_h != height:

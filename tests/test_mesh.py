@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh (SURVEY.md §4.2
+'Multi-chip without a cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocrjax.charset import Charset
+from ocrjax.config import TINY
+from ocrjax.parallel import mesh as M
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@requires_8
+def test_make_mesh_shapes():
+    m = M.make_mesh()
+    assert m.shape == {"dp": 8, "tp": 1}
+    m2 = M.make_mesh(n_dp=4, n_tp=2)
+    assert m2.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        M.make_mesh(n_dp=3, n_tp=2)
+
+
+@requires_8
+def test_shard_batch_layout():
+    m = M.make_mesh(n_dp=8)
+    x = M.shard_batch(m, np.zeros((16, 4), np.float32))
+    assert x.sharding.spec == jax.sharding.PartitionSpec("dp")
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (2, 4)
+
+
+@requires_8
+def test_tp_param_sharding_rules():
+    m = M.make_mesh(n_dp=4, n_tp=2)
+    charset = Charset("abcdefg")  # num_classes = 8, divisible by tp=2
+    from ocrjax.models.crnn import create_crnn
+    model = create_crnn(TINY, charset.num_classes)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 64, 1), jnp.float32))
+    sharded = M.shard_params(m, variables)
+    dense = sharded["params"]["Dense_0"]["kernel"]
+    assert dense.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    conv = sharded["params"]["ConvBNRelu_0"]["Conv_0"]["kernel"]
+    assert conv.sharding.spec == jax.sharding.PartitionSpec()
+
+
+@requires_8
+def test_sharded_train_step_runs_and_matches_single():
+    """One dp+tp-sharded train step executes and the loss equals the
+    unsharded step's loss (same math, different layout)."""
+    from ocrjax.train.rec_trainer import make_train_step
+    import optax
+
+    charset = Charset("abcdefg")
+    m = M.make_mesh(n_dp=4, n_tp=2)
+    model, tx, params, batch_stats, opt_state = M.init_sharded_rec_state(
+        TINY, charset, m, width=64)
+    step = M.make_sharded_rec_train_step(model, tx, m)
+
+    rng = np.random.RandomState(0)
+    B = 8
+    images = (rng.rand(B, 32, 64) * 255).astype(np.uint8)
+    widths = np.full((B,), 64, np.int32)
+    labels = rng.randint(1, 8, size=(B, 6)).astype(np.int32)
+    label_lengths = np.full((B,), 6, np.int32)
+
+    batch = M.shard_batch(m, (images, widths, labels, label_lengths))
+    p2, bs2, os2, loss_sharded = step(params, batch_stats, opt_state, *batch)
+    assert np.isfinite(float(loss_sharded))
+
+    # unsharded reference
+    model1 = model
+    tx1 = optax.adam(1e-3)
+    variables = model1.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 64, 1), jnp.float32))
+    step1 = make_train_step(model1, tx1)
+    _, _, _, loss_single = step1(
+        variables["params"], variables["batch_stats"], tx1.init(
+            variables["params"]),
+        jnp.asarray(images), jnp.asarray(widths), jnp.asarray(labels),
+        jnp.asarray(label_lengths))
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_single), rtol=1e-4)
