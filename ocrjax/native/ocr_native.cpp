@@ -1,0 +1,282 @@
+// Native host postprocess for ocrjax (SURVEY.md §2.1 R3 / §2.1 native table).
+//
+// The reference's box extraction is native host code (Rust). ocrjax's
+// production path is the on-device XLA program (ocrjax/postprocess/db_boxes
+// .py); this C++ library is the native host equivalent for the "exact
+// classic DB" mode and for machines without a TPU: union-find connected
+// components, per-component convex hull, rotating-calipers min-area rect,
+// and the DB unclip rule (grow by A·ratio/P). Exposed through a plain C ABI
+// consumed with ctypes (no pybind11 in this environment).
+//
+// Build: `make` in this directory (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Pt {
+  float x, y;
+};
+
+// ---------------------------------------------------------------------------
+// Union-find
+// ---------------------------------------------------------------------------
+struct DSU {
+  std::vector<int32_t> parent;
+  explicit DSU(size_t n) : parent(n) {
+    for (size_t i = 0; i < n; ++i) parent[i] = static_cast<int32_t>(i);
+  }
+  int32_t find(int32_t a) {
+    while (parent[a] != a) {
+      parent[a] = parent[parent[a]];
+      a = parent[a];
+    }
+    return a;
+  }
+  void unite(int32_t a, int32_t b) {
+    a = find(a);
+    b = find(b);
+    if (a != b) parent[std::max(a, b)] = std::min(a, b);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Convex hull (Andrew monotone chain) — points must be sorted (x, then y)
+// ---------------------------------------------------------------------------
+float cross(const Pt& o, const Pt& a, const Pt& b) {
+  return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+}
+
+std::vector<Pt> convex_hull(std::vector<Pt> pts) {
+  size_t n = pts.size();
+  if (n <= 2) return pts;
+  std::sort(pts.begin(), pts.end(), [](const Pt& a, const Pt& b) {
+    return a.x < b.x || (a.x == b.x && a.y < b.y);
+  });
+  std::vector<Pt> hull(2 * n);
+  size_t k = 0;
+  for (size_t i = 0; i < n; ++i) {  // lower
+    while (k >= 2 && cross(hull[k - 2], hull[k - 1], pts[i]) <= 0) --k;
+    hull[k++] = pts[i];
+  }
+  for (size_t i = n - 1, t = k + 1; i-- > 0;) {  // upper
+    while (k >= t && cross(hull[k - 2], hull[k - 1], pts[i]) <= 0) --k;
+    hull[k++] = pts[i];
+  }
+  hull.resize(k > 1 ? k - 1 : k);
+  return hull;
+}
+
+// ---------------------------------------------------------------------------
+// Rotating calipers min-area rect over a convex hull.
+// Returns 4 corners (TL-ish order fixed by caller) via out[8].
+// ---------------------------------------------------------------------------
+void min_area_rect(const std::vector<Pt>& hull, float* out /*8 floats*/,
+                   float* w_out, float* h_out) {
+  size_t n = hull.size();
+  if (n == 0) {
+    std::memset(out, 0, 8 * sizeof(float));
+    *w_out = *h_out = 0;
+    return;
+  }
+  if (n == 1) {
+    for (int i = 0; i < 4; ++i) {
+      out[2 * i] = hull[0].x;
+      out[2 * i + 1] = hull[0].y;
+    }
+    *w_out = *h_out = 0;
+    return;
+  }
+  float best_area = 1e30f;
+  float bx[4] = {0, 0, 0, 0}, by[4] = {0, 0, 0, 0};
+  float bw = 0, bh = 0;
+  for (size_t i = 0; i < n; ++i) {
+    const Pt& a = hull[i];
+    const Pt& b = hull[(i + 1) % n];
+    float ex = b.x - a.x, ey = b.y - a.y;
+    float len = std::sqrt(ex * ex + ey * ey);
+    if (len < 1e-9f) continue;
+    ex /= len;
+    ey /= len;
+    // project all points on edge dir (u) and normal (v)
+    float umin = 1e30f, umax = -1e30f, vmin = 1e30f, vmax = -1e30f;
+    for (const Pt& p : hull) {
+      float u = p.x * ex + p.y * ey;
+      float v = -p.x * ey + p.y * ex;
+      umin = std::min(umin, u);
+      umax = std::max(umax, u);
+      vmin = std::min(vmin, v);
+      vmax = std::max(vmax, v);
+    }
+    float area = (umax - umin) * (vmax - vmin);
+    if (area < best_area) {
+      best_area = area;
+      const float us[4] = {umin, umax, umax, umin};
+      const float vs[4] = {vmin, vmin, vmax, vmax};
+      for (int k = 0; k < 4; ++k) {
+        bx[k] = us[k] * ex - vs[k] * ey;
+        by[k] = us[k] * ey + vs[k] * ex;
+      }
+      bw = umax - umin;
+      bh = vmax - vmin;
+    }
+  }
+  for (int k = 0; k < 4; ++k) {
+    out[2 * k] = bx[k];
+    out[2 * k + 1] = by[k];
+  }
+  *w_out = bw;
+  *h_out = bh;
+}
+
+void order_quad(float* q /*8 floats, in-place*/) {
+  // TL = min sum, BR = max sum, TR = max (x-y), BL = min (x-y)
+  float sx[4], dx[4];
+  for (int i = 0; i < 4; ++i) {
+    sx[i] = q[2 * i] + q[2 * i + 1];
+    dx[i] = q[2 * i] - q[2 * i + 1];
+  }
+  int tl = 0, br = 0, tr = 0, bl = 0;
+  for (int i = 1; i < 4; ++i) {
+    if (sx[i] < sx[tl]) tl = i;
+    if (sx[i] > sx[br]) br = i;
+    if (dx[i] > dx[tr]) tr = i;
+    if (dx[i] < dx[bl]) bl = i;
+  }
+  float o[8];
+  const int idx[4] = {tl, tr, br, bl};
+  for (int i = 0; i < 4; ++i) {
+    o[2 * i] = q[2 * idx[i]];
+    o[2 * i + 1] = q[2 * idx[i] + 1];
+  }
+  std::memcpy(q, o, sizeof(o));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Two-pass union-find connected components (8-connectivity).
+// bitmap: H*W uint8 (0/1). labels_out: H*W int32, -1 = background,
+// else compact component id (raster order of first pixel).
+// Returns the number of components.
+int32_t occ_label(const uint8_t* bitmap, int32_t H, int32_t W,
+                  int32_t* labels_out) {
+  const int64_t n = static_cast<int64_t>(H) * W;
+  DSU dsu(n);
+  for (int32_t y = 0; y < H; ++y) {
+    for (int32_t x = 0; x < W; ++x) {
+      const int64_t i = static_cast<int64_t>(y) * W + x;
+      if (!bitmap[i]) continue;
+      if (x > 0 && bitmap[i - 1]) dsu.unite(i, i - 1);
+      if (y > 0) {
+        const int64_t up = i - W;
+        if (bitmap[up]) dsu.unite(i, up);
+        if (x > 0 && bitmap[up - 1]) dsu.unite(i, up - 1);
+        if (x + 1 < W && bitmap[up + 1]) dsu.unite(i, up + 1);
+      }
+    }
+  }
+  std::vector<int32_t> compact(n, -1);
+  int32_t next_id = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!bitmap[i]) {
+      labels_out[i] = -1;
+      continue;
+    }
+    int32_t root = dsu.find(static_cast<int32_t>(i));
+    if (compact[root] < 0) compact[root] = next_id++;
+    labels_out[i] = compact[root];
+  }
+  return next_id;
+}
+
+// Classic DB box extraction. Writes up to max_out boxes
+// (TL,TR,BR,BL × (x,y) = 8 floats each) and scores; returns count.
+int32_t occ_extract_boxes(const float* prob, int32_t H, int32_t W,
+                          float thresh, float box_thresh, float unclip_ratio,
+                          float min_box_size, int32_t max_out,
+                          float* boxes_out, float* scores_out) {
+  const int64_t n = static_cast<int64_t>(H) * W;
+  std::vector<uint8_t> bitmap(n);
+  for (int64_t i = 0; i < n; ++i) bitmap[i] = prob[i] > thresh ? 1 : 0;
+  std::vector<int32_t> labels(n);
+  const int32_t n_comp = occ_label(bitmap.data(), H, W, labels.data());
+  if (n_comp == 0) return 0;
+
+  std::vector<std::vector<Pt>> pts(n_comp);
+  std::vector<double> score_sum(n_comp, 0.0);
+  std::vector<int64_t> count(n_comp, 0);
+  for (int32_t y = 0; y < H; ++y) {
+    for (int32_t x = 0; x < W; ++x) {
+      const int32_t l = labels[static_cast<int64_t>(y) * W + x];
+      if (l < 0) continue;
+      pts[l].push_back({static_cast<float>(x), static_cast<float>(y)});
+      score_sum[l] += prob[static_cast<int64_t>(y) * W + x];
+      count[l]++;
+    }
+  }
+
+  int32_t n_out = 0;
+  for (int32_t c = 0; c < n_comp && n_out < max_out; ++c) {
+    const float score =
+        static_cast<float>(score_sum[c] / std::max<int64_t>(count[c], 1));
+    if (score < box_thresh) continue;
+    std::vector<Pt> hull = convex_hull(pts[c]);
+    float quad[8], bw, bh;
+    min_area_rect(hull, quad, &bw, &bh);
+    // +1: pixel centers → inclusive pixel extent
+    bw += 1.0f;
+    bh += 1.0f;
+    if (std::min(bw, bh) < min_box_size) continue;
+    // unclip: grow the rect by delta = A*r/P along both axes
+    const float area = bw * bh;
+    const float perim = 2.0f * (bw + bh);
+    const float delta = area * unclip_ratio / std::max(perim, 1e-6f);
+    // grow each corner away from the centroid along the rect axes
+    float cx = 0, cy = 0;
+    for (int k = 0; k < 4; ++k) {
+      cx += quad[2 * k];
+      cy += quad[2 * k + 1];
+    }
+    cx *= 0.25f;
+    cy *= 0.25f;
+    // rect axes from corners 0->1 (u) and 0->3 (v)
+    float ux = quad[2] - quad[0], uy = quad[3] - quad[1];
+    float vx = quad[6] - quad[0], vy = quad[7] - quad[1];
+    const float ul = std::sqrt(ux * ux + uy * uy);
+    const float vl = std::sqrt(vx * vx + vy * vy);
+    if (ul > 1e-6f) {
+      ux /= ul;
+      uy /= ul;
+    }
+    if (vl > 1e-6f) {
+      vx /= vl;
+      vy /= vl;
+    }
+    for (int k = 0; k < 4; ++k) {
+      float px = quad[2 * k] - cx, py = quad[2 * k + 1] - cy;
+      const float su = (px * ux + py * uy) >= 0 ? 1.0f : -1.0f;
+      const float sv = (px * vx + py * vy) >= 0 ? 1.0f : -1.0f;
+      quad[2 * k] += delta * (su * ux + sv * vx);
+      quad[2 * k + 1] += delta * (su * uy + sv * vy);
+    }
+    order_quad(quad);
+    for (int k = 0; k < 4; ++k) {
+      quad[2 * k] = std::min(std::max(quad[2 * k], 0.0f),
+                             static_cast<float>(W - 1));
+      quad[2 * k + 1] = std::min(std::max(quad[2 * k + 1], 0.0f),
+                                 static_cast<float>(H - 1));
+    }
+    std::memcpy(boxes_out + 8 * n_out, quad, sizeof(quad));
+    scores_out[n_out] = score;
+    ++n_out;
+  }
+  return n_out;
+}
+
+}  // extern "C"
