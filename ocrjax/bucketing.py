@@ -72,7 +72,8 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     prob, cand = st.forward(st.variables, jnp.asarray(canvases))
     boxes = np.asarray(cand["boxes"])
     scores = np.asarray(cand["scores"])
-    valid = np.asarray(cand["valid"])
+    valid = np.array(cand["valid"])  # writable copy (np.asarray of a jax
+    # array is a read-only view)
     for i in range(B):
         nh, nw = valid_hw[i]
         cx = boxes[i, :, :, 0].mean(axis=1)
