@@ -98,10 +98,24 @@ def detect_tiled(engine, image) -> List["DetBox"]:
         return jax.vmap(
             lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob)
 
-    cand = fwd(st.variables, jnp.asarray(tiles))
-    boxes = np.asarray(cand["boxes"])      # (n_tiles, C, 4, 2)
-    scores = np.asarray(cand["scores"])
-    valid = np.asarray(cand["valid"])
+    def run_chunked(tiles_np: np.ndarray, depth: int = 0):
+        """OOM fallback (SURVEY.md §5 failure detection): halve the tile
+        batch and retry when the device runs out of memory."""
+        try:
+            cand = fwd(st.variables, jnp.asarray(tiles_np))
+            return (np.asarray(cand["boxes"]), np.asarray(cand["scores"]),
+                    np.asarray(cand["valid"]))
+        except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
+            if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
+                    or len(tiles_np) <= 1:
+                raise
+            mid = len(tiles_np) // 2
+            parts = [run_chunked(tiles_np[:mid], depth + 1),
+                     run_chunked(tiles_np[mid:], depth + 1)]
+            return tuple(np.concatenate([p[i] for p in parts])
+                         for i in range(3))
+
+    boxes, scores, valid = run_chunked(tiles)  # boxes (n_tiles, C, 4, 2)
 
     quads, ss = [], []
     for t, (y, x) in enumerate(corners):

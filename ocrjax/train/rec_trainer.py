@@ -86,11 +86,12 @@ def train_rec(
     max_len: int = 10,
     log_every: int = 100,
     log: Callable[[str], None] = print,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 500,
 ) -> TrainResult:
     config = config or OcrConfig()
     charset = charset or default_charset()
     model = create_crnn(config, charset.num_classes)
-    rng = np.random.RandomState(seed)
 
     variables = model.init(
         jax.random.PRNGKey(seed),
@@ -105,9 +106,20 @@ def train_rec(
     opt_state = tx.init(params)
     train_step = make_train_step(model, tx)
 
+    # step resume (SURVEY.md §5 checkpoint/resume)
+    start_step = 0
+    if ckpt_dir:
+        from ocrjax.train import checkpoint as C
+        latest = C.latest_checkpoint(ckpt_dir, "rec_")
+        if latest:
+            start_step, params, batch_stats, opt_state = C.load_train_state(
+                latest, opt_state)
+            log(f"[rec] resumed from {latest} at step {start_step}")
+    rng = np.random.RandomState(seed + start_step)
+
     history = []
     t0 = time.time()
-    for step in range(1, steps + 1):
+    for step in range(start_step + 1, steps + 1):
         lb = synth.make_line_batch(
             rng, charset, batch_size, width, config.rec_height,
             max_len=max_len)
@@ -120,6 +132,13 @@ def train_rec(
             history.append((step, loss))
             log(f"[rec {step}/{steps}] loss={loss:.4f} "
                 f"({time.time() - t0:.0f}s)")
+        if ckpt_dir and (step % ckpt_every == 0 or step == steps):
+            from ocrjax.train import checkpoint as C
+            import os
+            os.makedirs(ckpt_dir, exist_ok=True)
+            C.save_train_state(
+                os.path.join(ckpt_dir, f"rec_{step}.safetensors"),
+                step, params, batch_stats, opt_state)
 
     variables = {"params": params, "batch_stats": batch_stats}
     eval_rng = np.random.RandomState(seed + 777)
