@@ -1,0 +1,67 @@
+"""End-to-end evaluation on synthetic pages: exact line match + detection
+recall (the substitute for ICDAR goldens, SURVEY.md §4.2: reference outputs
+are unavailable, so correctness = exact strings on synthetic renders).
+Also used to calibrate det_unclip_ratio (geometry → recognition coupling).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def evaluate_e2e(engine, n_pages: int = 8, size: int = 640,
+                 seed: int = 123, beam: bool = False) -> Dict[str, float]:
+    """→ dict(line_exact_match, det_recall, char_error_rate)."""
+    from ocrjax.train.synth import render_page
+
+    rng = np.random.RandomState(seed)
+    total_gt = matched_boxes = exact = 0
+    char_errs = char_total = 0
+    for _ in range(n_pages):
+        page, quads, texts = render_page(
+            rng, engine.charset, size=(size, size))
+        img = np.repeat(page[..., None], 3, axis=2)
+        res = engine.ocr(img, beam=beam)
+        total_gt += len(texts)
+        matched_boxes += min(len(res.lines), len(texts))
+        remaining = list(texts)
+        for line in res.lines:
+            if line.text in remaining:
+                remaining.remove(line.text)
+                exact += 1
+        # greedy char-level alignment for CER (order-insensitive pairing by
+        # best match keeps this robust to reading-order differences)
+        preds = [l.text for l in res.lines]
+        for t in texts:
+            if not preds:
+                char_errs += len(t)
+                char_total += len(t)
+                continue
+            dists = [_levenshtein(t, p) for p in preds]
+            k = int(np.argmin(dists))
+            char_errs += dists[k]
+            char_total += max(len(t), len(preds[k]))
+            preds.pop(k)
+        for p in preds:  # spurious detections
+            char_errs += len(p)
+            char_total += len(p)
+    return {
+        "line_exact_match": exact / max(total_gt, 1),
+        "det_recall": matched_boxes / max(total_gt, 1),
+        "char_error_rate": char_errs / max(char_total, 1),
+    }
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

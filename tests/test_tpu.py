@@ -1,0 +1,42 @@
+"""Real-TPU tests (run with OCRJAX_TEST_TPU=1 on hardware; skipped on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+
+pytestmark = pytest.mark.tpu
+
+
+def test_pallas_conv_parity_on_tpu():
+    import jax.numpy as jnp
+    from ocrjax.ops.pallas.conv_fused import conv3x3_bn_relu, conv_bn_relu_xla
+
+    rng = np.random.RandomState(0)
+    B, H, W, Cin, Cout = 2, 32, 64, 128, 128
+    x = jnp.asarray(rng.randn(B, H, W, Cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, Cin, Cout).astype(np.float32) * 0.05)
+    scale = jnp.asarray(rng.rand(Cout).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1)
+    got = np.asarray(conv3x3_bn_relu(x, w, scale, bias, force_pallas=True))
+    want = np.asarray(conv_bn_relu_xla(
+        x.astype(jnp.bfloat16), w, scale, bias)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.25, rtol=0.1)
+
+
+def test_recognize_on_tpu():
+    from ocrjax.api import OcrEngine
+    from ocrjax.train.synth import render_line
+
+    eng = OcrEngine.from_pretrained()
+    r = eng.recognize(render_line("TPU 123", height=32))
+    assert r.text == "TPU 123"
+
+
+def test_extract_boxes_on_tpu():
+    import jax.numpy as jnp
+    from ocrjax.postprocess.db_boxes import extract_boxes
+
+    prob = np.zeros((256, 256), np.float32)
+    prob[30:50, 20:200] = 0.9
+    out = extract_boxes(jnp.asarray(prob), max_candidates=16)
+    assert int(np.asarray(out["valid"]).sum()) == 1
