@@ -29,7 +29,9 @@ class OcrConfig:
     det_unclip_ratio: float = 1.5    # Vatti-style polygon expansion ratio
     det_max_candidates: int = 256    # fixed-shape cap on boxes per page
     det_min_box_size: int = 3        # minimum side length in pixels
-    det_cc_iters: int = 64           # label-propagation sweeps for on-device CCL
+    det_cc_iters: int = 24           # label-propagation sweeps for on-device
+                                     # CCL (union-find root merging converges
+                                     # in O(log diameter); 24 covers 2048px)
 
     # --- recognition preprocess (SURVEY.md §2.1 R1) ---
     rec_height: int = 32             # fixed input height of line crops

@@ -142,6 +142,21 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
         ext_pnb = jnp.where(char_ids == blank, NEG, ext_pnb)
         new_hash = phash[:, None] * _HASH_MUL + char_ids.astype(jnp.uint32) + 1
 
+        # --- merge: only stay×extend collisions are possible ----------------
+        # Two extends produce equal prefixes only if their parent beams were
+        # equal (excluded by invariant), so the classic O(N^2) prefix merge
+        # reduces to matching the K*V extend hashes against the K stay
+        # hashes: the extend's mass flows into the stay's p_nb and the
+        # extend is disabled.
+        match = new_hash[:, :, None] == phash[None, None, :]   # (K, V, K)
+        ext_into_stay = jnp.where(
+            jnp.reshape(match, (K * V, K)),
+            jnp.reshape(ext_pnb, (K * V,))[:, None], NEG)      # (K*V, K)
+        stay_pnb = jnp.logaddexp(
+            stay_pnb, jax.nn.logsumexp(ext_into_stay, axis=0))
+        merged_away = jnp.any(match, axis=2)                   # (K, V)
+        ext_pnb = jnp.where(merged_away, NEG, ext_pnb)
+
         # --- flatten: K stay-candidates + K*V extend-candidates -------------
         cand_score = jnp.concatenate(
             [jnp.logaddexp(stay_pb, stay_pnb), jnp.reshape(ext_pnb, (K * V,))])
@@ -156,28 +171,10 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
         cand_is_ext = jnp.concatenate(
             [jnp.zeros((K,), jnp.bool_), jnp.ones((K * V,), jnp.bool_)])
 
-        # --- merge candidates with identical prefix hash ---------------------
-        # Scores of duplicates are log-added into the first occurrence; the
-        # rest are disabled. O((K + K*V)^2) compares — small (K~8, V~100).
-        N = K + K * V
-        same = cand_hash[:, None] == cand_hash[None, :]        # (N, N)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        first_idx = jnp.min(jnp.where(same, idx, N), axis=1)   # (N,)
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
-        is_first = first_idx == i_idx
-        # logsumexp over each hash-group, written to the first occurrence.
-        grp = same & (first_idx[None, :] == i_idx[:, None])    # row i collects its group
-        def glse(scores):
-            s = jnp.where(grp, scores[None, :], NEG)
-            return jax.lax.stop_gradient(jax.nn.logsumexp(s, axis=1))
-        m_score = jnp.where(is_first, glse(cand_score), NEG)
-        m_pb = jnp.where(is_first, glse(cand_pb), NEG)
-        m_pnb = jnp.where(is_first, glse(cand_pnb), NEG)
-
         # --- top-K beams ------------------------------------------------------
-        top_score, top_i = jax.lax.top_k(m_score, K)
-        n_pb = m_pb[top_i]
-        n_pnb = m_pnb[top_i]
+        top_score, top_i = jax.lax.top_k(cand_score, K)
+        n_pb = cand_pb[top_i]
+        n_pnb = cand_pnb[top_i]
         n_hash = cand_hash[top_i]
         n_last = cand_last[top_i]
         src = cand_src[top_i]

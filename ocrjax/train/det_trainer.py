@@ -146,13 +146,14 @@ def train_det(
     seed: int = 0,
     log_every: int = 50,
     log: Callable[[str], None] = print,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 500,
 ) -> DetTrainResult:
     """Train on `size`-px synthetic pages (conv translation invariance makes
     the weights valid at the full det_max_side canvas)."""
     config = config or OcrConfig()
     charset = charset or default_charset()
     model = create_db(config)
-    rng = np.random.RandomState(seed)
 
     variables = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), jnp.float32))
@@ -165,9 +166,19 @@ def train_det(
     opt_state = tx.init(params)
     step_fn = make_det_train_step(model, tx, config)
 
+    start_step = 0
+    if ckpt_dir:
+        from ocrjax.train import checkpoint as C
+        latest = C.latest_checkpoint(ckpt_dir, "det_")
+        if latest:
+            start_step, params, batch_stats, opt_state = C.load_train_state(
+                latest, opt_state)
+            log(f"[det] resumed from {latest} at step {start_step}")
+    rng = np.random.RandomState(seed + start_step)
+
     history = []
     t0 = time.time()
-    for step in range(1, steps + 1):
+    for step in range(start_step + 1, steps + 1):
         imgs, gts, gtt, gtm = det_gt.make_det_batch(
             rng, charset, batch_size, size)
         params, batch_stats, opt_state, loss, parts = step_fn(
@@ -181,6 +192,13 @@ def train_det(
                 f"bin={float(parts['binary']):.3f} "
                 f"thr={float(parts['thresh']):.3f} "
                 f"({time.time() - t0:.0f}s)")
+        if ckpt_dir and (step % ckpt_every == 0 or step == steps):
+            import os
+            from ocrjax.train import checkpoint as C
+            os.makedirs(ckpt_dir, exist_ok=True)
+            C.save_train_state(
+                os.path.join(ckpt_dir, f"det_{step}.safetensors"),
+                step, params, batch_stats, opt_state)
 
     variables = {"params": params, "batch_stats": batch_stats}
     eval_rng = np.random.RandomState(seed + 999)
