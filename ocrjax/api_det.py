@@ -45,13 +45,31 @@ class _DetState:
                 jax.random.PRNGKey(1), canvas)
         self.variables = engine.det_variables
 
+        # Split jits: the heavy DB graph compiles once; the box extractor
+        # takes thresholds as traced scalars so config tweaks (CLI flags,
+        # calibration sweeps) never trigger a recompile.
         @jax.jit
-        def forward(variables, canvas_u8):
+        def prob_fn(variables, canvas_u8):
             x = preprocess.det_normalize(
                 canvas_u8, cfg.det_mean, cfg.det_std)
-            prob = self.model.apply(variables, x)["prob"]
-            out = jax.vmap(
-                lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob)
+            return self.model.apply(variables, x)["prob"]
+
+        @functools.partial(
+            jax.jit, static_argnames=("max_candidates", "cc_iters"))
+        def boxes_fn(prob, thresh, box_thresh, unclip_ratio, min_box_size,
+                     max_candidates, cc_iters):
+            return jax.vmap(lambda p: db_boxes.extract_boxes(
+                p, thresh=thresh, box_thresh=box_thresh,
+                unclip_ratio=unclip_ratio, min_box_size=min_box_size,
+                max_candidates=max_candidates, cc_iters=cc_iters))(prob)
+
+        def forward(variables, canvas_u8):
+            c = self.engine.config
+            prob = prob_fn(variables, canvas_u8)
+            out = boxes_fn(prob, c.det_thresh, c.det_box_thresh,
+                           c.det_unclip_ratio, float(c.det_min_box_size),
+                           max_candidates=c.det_max_candidates,
+                           cc_iters=c.det_cc_iters)
             return prob, out
 
         self.forward = forward

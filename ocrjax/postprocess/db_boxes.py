@@ -77,8 +77,7 @@ def label_components(bitmap: jnp.ndarray, n_iters: int = 32) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("thresh", "box_thresh", "unclip_ratio",
-                     "max_candidates", "min_box_size", "cc_iters"))
+    static_argnames=("max_candidates", "cc_iters"))
 def extract_boxes(
     prob: jnp.ndarray,
     *,
@@ -86,7 +85,7 @@ def extract_boxes(
     box_thresh: float = 0.6,
     unclip_ratio: float = 1.5,
     max_candidates: int = 256,
-    min_box_size: int = 3,
+    min_box_size: float = 3,
     cc_iters: int = 32,
 ) -> Dict[str, jnp.ndarray]:
     """Single prob map (H, W) float → C fixed candidate boxes.
@@ -155,7 +154,7 @@ def extract_boxes(
     bh = vmax - vmin + 1.0
     score = sp / n
     valid = (cnt > 0) & (score >= box_thresh) \
-        & (jnp.minimum(bw, bh) >= float(min_box_size))
+        & (jnp.minimum(bw, bh) >= min_box_size)
 
     # ---- unclip: grow the rect by δ = A·r / P (exact for rects) -----------
     area = bw * bh
