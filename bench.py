@@ -16,6 +16,12 @@ BASELINE_PAGES_PER_SEC = 50.0
 
 
 def main():
+    import jax
+    # persistent compile cache: repeated driver runs skip the (minutes-long)
+    # remote XLA compiles of the detection graph
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from ocrjax.bench_lib import run_bench
 
     report = run_bench(pages=16, lines=256, repeats=3)

@@ -156,10 +156,24 @@ def extract_boxes(
     valid = (cnt > 0) & (score >= box_thresh) \
         & (jnp.minimum(bw, bh) >= min_box_size)
 
-    # ---- unclip: grow the rect by δ = A·r / P (exact for rects) -----------
+    # ---- unclip ------------------------------------------------------------
+    # unclip_ratio > 0: classic DB rule, grow the rect by δ = A·r/P.
+    # unclip_ratio <= 0: exact shrink inversion — the detected region is the
+    # training-time shrunk kernel (δs = 0.84·wh/P of the ORIGINAL box), so
+    # recover the true box by solving δ = 0.84·(w'+2δ)(h'+2δ) /
+    # (2(w'+2δ) + 2(h'+2δ)), which reduces to the quadratic
+    # 4.64δ² + 0.32δ(w'+h') − 0.84w'h' = 0 (positive root). A plain ratio
+    # either under-recovers the height of thin boxes or buries short text in
+    # margin (measured in scripts/calibrate_unclip.py).
     area = bw * bh
     perim = 2.0 * (bw + bh)
-    delta = area * unclip_ratio / jnp.maximum(perim, 1e-6)
+    ratio_delta = area * unclip_ratio / jnp.maximum(perim, 1e-6)
+
+    s_ = bw + bh
+    disc = (0.32 * s_) ** 2 + 4.0 * 4.64 * 0.84 * area
+    invert_delta = (-0.32 * s_ + jnp.sqrt(disc)) / (2.0 * 4.64)
+
+    delta = jnp.where(unclip_ratio > 0, ratio_delta, invert_delta)
     umin, umax = umin - delta, umax + delta
     vmin, vmax = vmin - delta, vmax + delta
 

@@ -107,6 +107,26 @@ def make_line_batch(
                         else int(rng.randint(height * 2 // 3, height * 2)))
             strip = render_line(
                 text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
+            # margin/crop jitter: detection hands the recognizer crops with
+            # anywhere from slightly-cut glyphs (shrunk-kernel under-
+            # recovery) to generous whitespace (unclip overshoot). Emulate:
+            # pad each side by up to 35% of height, or cut up to 12%.
+            if rng.rand() < 0.7:
+                sh, sw = strip.shape
+                m = np.array([rng.randint(-sh // 8, sh * 35 // 100 + 1)
+                              for _ in range(4)])  # top, bottom, left, right
+                padded = np.full((sh + max(m[0], 0) + max(m[1], 0),
+                                  sw + max(m[2], 0) + max(m[3], 0)),
+                                 255, np.uint8)
+                padded[max(m[0], 0):max(m[0], 0) + sh,
+                       max(m[2], 0):max(m[2], 0) + sw] = strip
+                y0 = max(-m[0], 0)
+                x0 = max(-m[2], 0)
+                y1 = padded.shape[0] - max(-m[1], 0)
+                x1 = padded.shape[1] - max(-m[3], 0)
+                if y1 - y0 >= 8 and x1 - x0 >= 4:
+                    strip = padded[y0:y1, x0:x1]
+                render_h = strip.shape[0]
             if render_h != height:
                 import cv2
                 new_w = max(1, int(round(strip.shape[1] * height / render_h)))
