@@ -111,6 +111,14 @@ def _quad_list(quad) -> List[List[float]]:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _main(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(args) -> int:
 
     if args.cmd == "bench":
         from ocrjax.bench_lib import run_bench
@@ -128,6 +136,19 @@ def main(argv=None) -> int:
     engine = _make_engine(args)
     out = []
     with _profiled(args):
+        if args.cmd == "ocr" and len(args.images) > 1 and not args.tiled:
+            # C4 pooled path: one batched detection + pooled rec buckets
+            t0 = time.perf_counter()
+            results = engine.ocr_batch(args.images, beam=args.beam)
+            ms = round((time.perf_counter() - t0) * 1e3 / len(results), 1)
+            for path, res in zip(args.images, results):
+                out.append({"image": path, "text": res.text, "lines": [
+                    {"text": l.text, "confidence": round(l.confidence, 4),
+                     "quad": _quad_list(l.box.quad),
+                     "score": round(l.box.score, 4)} for l in res.lines],
+                    "ms": ms})
+            _emit(args, out)
+            return 0
         for path in args.images:
             t0 = time.perf_counter()
             if args.cmd == "recognize":
@@ -151,19 +172,21 @@ def main(argv=None) -> int:
                      "score": round(l.box.score, 4)} for l in res.lines]})
             out[-1]["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
 
+    _emit(args, out)
+    return 0
+
+
+def _emit(args, out) -> None:
     if args.as_json:
         print(json.dumps(out, indent=2))
-    else:
-        for item in out:
-            print(f"== {item['image']} ({item['ms']} ms)")
-            if args.cmd == "recognize":
-                print(item["text"])
-            elif args.cmd == "detect":
-                for b in item["boxes"]:
-                    print(f"  {b['quad']} score={b['score']}")
-            else:
-                print(item["text"])
-    return 0
+        return
+    for item in out:
+        print(f"== {item['image']} ({item['ms']} ms)")
+        if "boxes" in item:
+            for b in item["boxes"]:
+                print(f"  {b['quad']} score={b['score']}")
+        else:
+            print(item["text"])
 
 
 def _ocr_tiled(engine, path, beam=False):
