@@ -121,6 +121,14 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     if len(idx) == 0:
         return OcrResult(lines=[])
 
+    if scale < 0.999:
+        # The page was downscaled onto the canvas — recognize crops from the
+        # ORIGINAL image at full resolution instead of the blurry canvas
+        # (axis-aligned hull crops; arbitrary page sizes would otherwise
+        # force a warp recompile per page shape).
+        return _ocr_from_original(engine, img, scale, boxes, scores, idx,
+                                  beam=beam)
+
     # host decision: bucket count + strip width bucket (SURVEY.md §2.3 N13)
     quads_canvas = boxes[idx]                                  # (n, 4, 2)
     n = len(idx)
@@ -165,6 +173,35 @@ def _rec_strips_jit(engine, strips, widths, beam: bool = False):
     if beam:
         kw["beam_width"] = engine.config.ctc_beam_width
     return decode(logits, frame_lengths, **kw)
+
+
+def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False):
+    """Full-resolution recognition for downscaled pages: axis-aligned hull
+    crops from the original image → recognize_strips (bucketed)."""
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+
+    h, w = img.shape[:2]
+    gray = preprocess.to_gray(img)
+    quads_orig, strips, ss = [], [], []
+    for i in idx:
+        q = geometry.scale_quads(boxes[i], scale)
+        x0 = int(max(0, np.floor(q[:, 0].min())))
+        x1 = int(min(w, np.ceil(q[:, 0].max()) + 1))
+        y0 = int(max(0, np.floor(q[:, 1].min())))
+        y1 = int(min(h, np.ceil(q[:, 1].max()) + 1))
+        if x1 - x0 < 2 or y1 - y0 < 2:
+            continue
+        quads_orig.append(q)
+        strips.append(gray[y0:y1, x0:x1])
+        ss.append(float(scores[i]))
+    if not strips:
+        return OcrResult(lines=[])
+    rs = engine.recognize_strips(strips, beam=beam)
+    order = geometry.sort_reading_order(quads_orig)
+    return OcrResult(lines=[
+        OcrLine(box=DetBox(quads_orig[k], ss[k]), text=rs[k].text,
+                confidence=rs[k].confidence)
+        for k in order])
 
 
 def _estimate_strip_widths(quads: np.ndarray, rec_height: int) -> np.ndarray:

@@ -108,13 +108,18 @@ def make_line_batch(
             strip = render_line(
                 text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
             # margin/crop jitter: detection hands the recognizer crops with
-            # anywhere from slightly-cut glyphs (shrunk-kernel under-
-            # recovery) to generous whitespace (unclip overshoot). Emulate:
-            # pad each side by up to 35% of height, or cut up to 12%.
-            if rng.rand() < 0.7:
+            # slightly-cut glyphs (shrunk-kernel under-recovery) or extra
+            # whitespace (unclip overshoot). Jitter MILDLY — vertical margin
+            # is the size cue that disambiguates o/O-class pairs, so keep it
+            # tight (-6%..+15%) and allow more horizontal slack (-4%..+25%).
+            if rng.rand() < 0.6:
                 sh, sw = strip.shape
-                m = np.array([rng.randint(-sh // 8, sh * 35 // 100 + 1)
-                              for _ in range(4)])  # top, bottom, left, right
+                m = np.array([
+                    rng.randint(-sh * 6 // 100, sh * 15 // 100 + 1),
+                    rng.randint(-sh * 6 // 100, sh * 15 // 100 + 1),
+                    rng.randint(-sh * 4 // 100, sh * 25 // 100 + 1),
+                    rng.randint(-sh * 4 // 100, sh * 25 // 100 + 1),
+                ])  # top, bottom, left, right
                 padded = np.full((sh + max(m[0], 0) + max(m[1], 0),
                                   sw + max(m[2], 0) + max(m[3], 0)),
                                  255, np.uint8)

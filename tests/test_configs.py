@@ -104,3 +104,14 @@ def test_c5_tiled_detection(engine):
     assert isinstance(small_boxes, list)
     for b in small_boxes:
         assert b.quad[:, 0].max() < 120 and b.quad[:, 1].max() < 100
+
+
+def test_c3_downscaled_page_uses_fullres_crops(engine):
+    """Pages larger than the canvas recognize from the original image."""
+    rng = np.random.RandomState(11)
+    img, quads, _ = render_page(rng, default_charset(), size=(400, 400))
+    img3 = np.repeat(img[..., None], 3, axis=2)  # canvas 256 -> scale < 1
+    res = engine.ocr(img3)
+    assert isinstance(res, OcrResult)
+    for l in res.lines:
+        assert l.box.quad[:, 0].max() <= 400 and l.box.quad[:, 1].max() <= 400
