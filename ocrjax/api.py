@@ -158,8 +158,14 @@ class OcrEngine:
         from ocrjax import api_det
         return api_det.ocr(self, image, beam=beam)
 
-    def ocr_batch(self, images: Sequence[ImageLike], beam: bool = False
-                  ) -> List[OcrResult]:
+    def ocr_batch(self, images: Sequence[ImageLike], beam: bool = False,
+                  fused: bool = False) -> List[OcrResult]:
+        """C4 batched OCR. fused=True runs the single-XLA-program path
+        (ocrjax.fused): zero intermediate host syncs, fixed per-page line
+        capacity; greedy decode only."""
+        if fused and not beam:
+            from ocrjax import fused as F
+            return F.ocr_pages_fused(self, images)
         from ocrjax import api_det
         return api_det.ocr_batch(self, images, beam=beam)
 

@@ -1,0 +1,168 @@
+"""Fully-fused end-to-end OCR: one XLA program per page batch.
+
+BASELINE.json:5's north star — "whole pages stay on-TPU". The bucketed path
+(ocrjax.bucketing) syncs twice per batch so the host can pick buckets; this
+path instead fixes a static per-page line capacity (`lines_per_page`) and
+runs detect → extract_boxes → top-K select → batched warp → CRNN → CTC as a
+single jit program: one canvas upload, one (tokens, quads, validity)
+download, zero intermediate round trips. Padding lanes (pages with fewer
+lines) burn MXU cycles, which is the right trade on TPU: the recognizer is
+tiny and RPC/dispatch latency dominates multi-call pipelines.
+
+Used by OcrEngine.ocr_batch(fused=True) and the benchmark.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrjax import geometry, preprocess
+from ocrjax.ops import ctc
+from ocrjax.ops.warp import (_bilinear_sample, quad_strip_widths,
+                             solve_homographies)
+from ocrjax.postprocess import db_boxes
+
+
+def make_fused_ocr_fn(engine, lines_per_page: int = 32,
+                      bucket_width: int = 320):
+    """Builds the fused jit program closed over both models' variables."""
+    cfg = engine.config
+    from ocrjax.api_det import _det_state
+    st = _det_state(engine)
+    rec_model = engine.rec_model
+    K = lines_per_page
+    H = cfg.rec_height
+    W = bucket_width
+
+    @jax.jit
+    def fused(det_vars, rec_vars, canvases_u8):
+        B = canvases_u8.shape[0]
+        # ---- detection -----------------------------------------------------
+        x = preprocess.det_normalize(canvases_u8, cfg.det_mean, cfg.det_std)
+        prob = st.model.apply(det_vars, x)["prob"]            # (B, S, S)
+        cand = jax.vmap(lambda p: db_boxes.extract_boxes(
+            p, thresh=cfg.det_thresh, box_thresh=cfg.det_box_thresh,
+            unclip_ratio=cfg.det_unclip_ratio,
+            min_box_size=float(cfg.det_min_box_size),
+            max_candidates=cfg.det_max_candidates,
+            cc_iters=cfg.det_cc_iters))(prob)
+
+        # ---- top-K lines per page by score ---------------------------------
+        score = jnp.where(cand["valid"], cand["scores"], -1.0)  # (B, C)
+        top_s, top_i = jax.lax.top_k(score, K)                  # (B, K)
+        quads = jnp.take_along_axis(
+            cand["boxes"], top_i[..., None, None], axis=1)      # (B, K, 4, 2)
+        line_valid = top_s > 0.0                                # (B, K)
+
+        # ---- batched warp straight off the normalized gray canvases --------
+        gray = canvases_u8.astype(jnp.float32) @ jnp.array(
+            [0.299, 0.587, 0.114], jnp.float32)                 # (B, S, S)
+        gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
+        flat_quads = quads.reshape(B * K, 4, 2)
+        widths = quad_strip_widths(flat_quads, H, W)
+        heights = jnp.full((B * K,), H, jnp.int32)
+        Hs = solve_homographies(flat_quads, heights, widths)
+        page_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+
+        u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        grid = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
+
+        def warp_one(Hm, w_, pid):
+            page = jax.lax.dynamic_index_in_dim(gray, pid, 0, keepdims=False)
+            s = grid @ Hm.T
+            denom = s[..., 2]
+            denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+            samp = _bilinear_sample(page, s[..., 0] / denom, s[..., 1] / denom)
+            mask = jax.lax.broadcasted_iota(jnp.int32, samp.shape, 1) < w_
+            return jnp.where(mask, samp, 0.0)
+
+        strips = jax.vmap(warp_one)(Hs, widths, page_ids)       # (B*K, H, W)
+
+        # ---- recognition + decode -------------------------------------------
+        logits, frame_lengths = rec_model.apply(
+            rec_vars, strips[..., None], widths)
+        tokens, n_tokens, conf = ctc.ctc_greedy_decode(
+            logits, frame_lengths, blank=cfg.ctc_blank,
+            max_tokens=cfg.rec_max_tokens)
+        return {
+            "tokens": tokens.reshape(B, K, -1),
+            "n_tokens": n_tokens.reshape(B, K),
+            "conf": conf.reshape(B, K),
+            "quads": quads,
+            "scores": top_s,
+            "valid": line_valid,
+        }
+
+    return fused
+
+
+def ocr_pages_fused(engine, images, lines_per_page: int = 32,
+                    bucket_width: int = 320) -> List["OcrResult"]:
+    """Batched end-to-end through the fused program. Same result contract as
+    bucketing.ocr_pages (per-page OcrResult, reading order, original coords).
+    """
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+
+    cfg = engine.config
+    B = len(images)
+    if B == 0:
+        return []
+    key = (lines_per_page, bucket_width)
+    cache = getattr(engine, "_fused_cache", None)
+    if cache is None:
+        cache = engine._fused_cache = {}
+    if key not in cache:
+        cache[key] = make_fused_ocr_fn(engine, lines_per_page, bucket_width)
+    fused = cache[key]
+
+    canvases = np.zeros((B, cfg.det_max_side, cfg.det_max_side, 3), np.uint8)
+    scales = np.ones((B,), np.float64)
+    valid_hw = np.zeros((B, 2), np.int64)
+    ok = np.ones((B,), bool)
+    for i, image in enumerate(images):
+        try:
+            img = preprocess.load_image(image)
+            canvases[i], scales[i], valid_hw[i] = \
+                preprocess.det_resize_to_canvas(img, cfg)
+        except Exception:  # noqa: BLE001 — per-page isolation
+            ok[i] = False
+
+    from ocrjax.api_det import _det_state
+    st = _det_state(engine)
+    out = fused(st.variables, engine.rec_variables, jnp.asarray(canvases))
+    tokens = np.asarray(out["tokens"])
+    n_tokens = np.asarray(out["n_tokens"])
+    conf = np.asarray(out["conf"])
+    quads = np.asarray(out["quads"])
+    scores = np.asarray(out["scores"])
+    valid = np.asarray(out["valid"])
+
+    results: List[OcrResult] = []
+    for i in range(B):
+        if not ok[i]:
+            results.append(OcrResult(lines=[]))
+            continue
+        nh, nw = valid_hw[i]
+        lines = []
+        qs, metas = [], []
+        for k in np.where(valid[i])[0]:
+            q = quads[i, k]
+            if not (q[:, 0].mean() < nw and q[:, 1].mean() < nh):
+                continue  # canvas-padding artifact
+            qs.append(geometry.scale_quads(q, scales[i]))
+            metas.append(k)
+        order = geometry.sort_reading_order(qs)
+        for j in order:
+            k = metas[j]
+            text = engine.charset.decode(tokens[i, k][: n_tokens[i, k]])
+            lines.append(OcrLine(
+                box=DetBox(qs[j], float(scores[i, k])),
+                text=text, confidence=float(conf[i, k])))
+        results.append(OcrResult(lines=lines))
+    return results

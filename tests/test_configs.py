@@ -115,3 +115,15 @@ def test_c3_downscaled_page_uses_fullres_crops(engine):
     assert isinstance(res, OcrResult)
     for l in res.lines:
         assert l.box.quad[:, 0].max() <= 400 and l.box.quad[:, 1].max() <= 400
+
+
+def test_c4_fused_matches_bucketed(engine, page):
+    """The fused single-program path returns the same texts as the bucketed
+    path (same models, same geometry; greedy decode)."""
+    img, _, _ = page
+    bucketed = engine.ocr_batch([img, img])
+    fusedr = engine.ocr_batch([img, img], fused=True)
+    assert len(fusedr) == 2
+    assert [l.text for l in fusedr[0].lines] == \
+        [l.text for l in bucketed[0].lines]
+    assert fusedr[0].text == fusedr[1].text
