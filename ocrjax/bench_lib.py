@@ -49,14 +49,14 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         widths[i] = w
     strips_d = jnp.asarray(strips)
     widths_d = jnp.asarray(widths)
-    # warmup/compile
-    jax.block_until_ready(engine._rec_step(
-        engine.rec_variables, strips_d, widths_d))
+    # warmup/compile (materialize to host — block_until_ready alone has been
+    # observed returning early under the remote-TPU backend)
+    np.asarray(engine._rec_step(engine.rec_variables, strips_d, widths_d)[0])
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(engine._rec_step(
-            engine.rec_variables, strips_d, widths_d))
+        np.asarray(engine._rec_step(
+            engine.rec_variables, strips_d, widths_d)[0])
         times.append(time.perf_counter() - t0)
     report["crops_per_sec"] = n / min(times)
     report["rec_batch_ms"] = min(times) * 1e3
@@ -68,7 +68,7 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
             rng, charset, size=(cfg.det_max_side, cfg.det_max_side))
         imgs.append(np.repeat(page[..., None], 3, axis=2))
 
-    engine.ocr_batch(imgs[:2])  # warmup/compile the det+warp+rec buckets
+    engine.ocr_batch(imgs)  # warmup at the REAL batch shape (compiles here)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -76,7 +76,7 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         times.append(time.perf_counter() - t0)
     report["pages_per_sec_bucketed"] = pages / min(times)
 
-    engine.ocr_batch(imgs[:2], fused=True)  # warmup the fused program
+    engine.ocr_batch(imgs, fused=True)  # warmup at the real batch shape
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
