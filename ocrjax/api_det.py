@@ -55,13 +55,15 @@ class _DetState:
             return self.model.apply(variables, x)["prob"]
 
         @functools.partial(
-            jax.jit, static_argnames=("max_candidates", "cc_iters"))
+            jax.jit,
+            static_argnames=("max_candidates", "cc_iters", "cc_downsample"))
         def boxes_fn(prob, thresh, box_thresh, unclip_ratio, min_box_size,
-                     max_candidates, cc_iters):
+                     max_candidates, cc_iters, cc_downsample):
             return jax.vmap(lambda p: db_boxes.extract_boxes(
                 p, thresh=thresh, box_thresh=box_thresh,
                 unclip_ratio=unclip_ratio, min_box_size=min_box_size,
-                max_candidates=max_candidates, cc_iters=cc_iters))(prob)
+                max_candidates=max_candidates, cc_iters=cc_iters,
+                cc_downsample=cc_downsample))(prob)
 
         def forward(variables, canvas_u8):
             c = self.engine.config
@@ -69,7 +71,8 @@ class _DetState:
             out = boxes_fn(prob, c.det_thresh, c.det_box_thresh,
                            c.det_unclip_ratio, float(c.det_min_box_size),
                            max_candidates=c.det_max_candidates,
-                           cc_iters=c.det_cc_iters)
+                           cc_iters=c.det_cc_iters,
+                           cc_downsample=c.det_cc_downsample)
             return prob, out
 
         self.forward = forward

@@ -29,9 +29,13 @@ class OcrConfig:
     det_unclip_ratio: float = 1.5    # Vatti-style polygon expansion ratio
     det_max_candidates: int = 256    # fixed-shape cap on boxes per page
     det_min_box_size: int = 3        # minimum side length in pixels
-    det_cc_iters: int = 24           # label-propagation sweeps for on-device
-                                     # CCL (union-find root merging converges
-                                     # in O(log diameter); 24 covers 2048px)
+    det_cc_iters: int = 4            # CCL row/col-scan alternations: each
+                                     # sweep has whole-run reach, so this is
+                                     # the component "bend count" (text
+                                     # blobs converge in 2-3)
+    det_cc_downsample: int = 2       # CCL on an OR-pooled coarse grid (4x
+                                     # less scan traffic); components closer
+                                     # than this many px may merge
 
     # --- recognition preprocess (SURVEY.md §2.1 R1) ---
     rec_height: int = 32             # fixed input height of line crops

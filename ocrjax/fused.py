@@ -23,14 +23,19 @@ import numpy as np
 
 from ocrjax import geometry, preprocess
 from ocrjax.ops import ctc
-from ocrjax.ops.warp import (_bilinear_sample, quad_strip_widths,
-                             solve_homographies)
+from ocrjax.ops.warp import warp_quads_grouped, warp_quads_separable
 from ocrjax.postprocess import db_boxes
 
 
 def make_fused_ocr_fn(engine, lines_per_page: int = 32,
-                      bucket_width: int = 320):
-    """Builds the fused jit program closed over both models' variables."""
+                      bucket_width: int = 320,
+                      separable_warp: bool = True):
+    """Builds the fused jit program closed over both models' variables.
+
+    separable_warp: crop/resize via MXU matmuls (9x faster than the gather
+    warp; exact for axis-aligned text, AABB-crop for rotated — see
+    warp_quads_separable). Set False for exact homography rectification.
+    """
     cfg = engine.config
     from ocrjax.api_det import _det_state
     st = _det_state(engine)
@@ -50,7 +55,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             unclip_ratio=cfg.det_unclip_ratio,
             min_box_size=float(cfg.det_min_box_size),
             max_candidates=cfg.det_max_candidates,
-            cc_iters=cfg.det_cc_iters))(prob)
+            cc_iters=cfg.det_cc_iters,
+            cc_downsample=cfg.det_cc_downsample))(prob)
 
         # ---- top-K lines per page by score ---------------------------------
         score = jnp.where(cand["valid"], cand["scores"], -1.0)  # (B, C)
@@ -59,30 +65,15 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             cand["boxes"], top_i[..., None, None], axis=1)      # (B, K, 4, 2)
         line_valid = top_s > 0.0                                # (B, K)
 
-        # ---- batched warp straight off the normalized gray canvases --------
+        # ---- grouped batched warp off the normalized gray canvases ---------
         gray = canvases_u8.astype(jnp.float32) @ jnp.array(
             [0.299, 0.587, 0.114], jnp.float32)                 # (B, S, S)
         gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
-        flat_quads = quads.reshape(B * K, 4, 2)
-        widths = quad_strip_widths(flat_quads, H, W)
-        heights = jnp.full((B * K,), H, jnp.int32)
-        Hs = solve_homographies(flat_quads, heights, widths)
-        page_ids = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
-
-        u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-        v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-        grid = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
-
-        def warp_one(Hm, w_, pid):
-            page = jax.lax.dynamic_index_in_dim(gray, pid, 0, keepdims=False)
-            s = grid @ Hm.T
-            denom = s[..., 2]
-            denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-            samp = _bilinear_sample(page, s[..., 0] / denom, s[..., 1] / denom)
-            mask = jax.lax.broadcasted_iota(jnp.int32, samp.shape, 1) < w_
-            return jnp.where(mask, samp, 0.0)
-
-        strips = jax.vmap(warp_one)(Hs, widths, page_ids)       # (B*K, H, W)
+        warp = warp_quads_separable if separable_warp else warp_quads_grouped
+        strips_bk, widths_bk = warp(
+            gray, quads, rec_height=H, bucket_width=W)
+        strips = strips_bk.reshape(B * K, H, W)
+        widths = widths_bk.reshape(B * K)
 
         # ---- recognition + decode -------------------------------------------
         logits, frame_lengths = rec_model.apply(

@@ -67,7 +67,9 @@ def label_components(bitmap: jnp.ndarray, n_iters: int = 6) -> jnp.ndarray:
     Each iteration: full-row run-min scan, full-column run-min scan, one 3x3
     window min (diagonal hops). Reach per iteration is a whole row/column
     run, so convergence is the component's "bend count" — 2-3 iterations for
-    text blobs, n_iters for pathological spirals. All dense ops.
+    the filled bands DB produces. Worst case: thin (1-2 px) diagonal strokes,
+    whose runs are ~2 px — those need ~length/2 iterations (raise n_iters if
+    labeling such inputs directly). All dense ops.
     """
     H, W = bitmap.shape
     lin = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
@@ -86,7 +88,7 @@ def label_components(bitmap: jnp.ndarray, n_iters: int = 6) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_candidates", "cc_iters"))
+    static_argnames=("max_candidates", "cc_iters", "cc_downsample"))
 def extract_boxes(
     prob: jnp.ndarray,
     *,
@@ -95,7 +97,8 @@ def extract_boxes(
     unclip_ratio: float = 1.5,
     max_candidates: int = 256,
     min_box_size: float = 3,
-    cc_iters: int = 32,
+    cc_iters: int = 4,
+    cc_downsample: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Single prob map (H, W) float → C fixed candidate boxes.
 
@@ -111,13 +114,32 @@ def extract_boxes(
     prob = prob.astype(jnp.float32)
     fg = prob > thresh
 
-    labels = label_components(fg, cc_iters)
-    flat_lab = labels.reshape(-1)
+    # Optional coarse-grid CCL (cc_downsample=2 → 4x less scan traffic):
+    # labels come from the OR-pooled bitmap and are repeated back to full
+    # res; stats stay full-res (mask below is ANDed with fine-grid fg).
+    # Caveat: components separated by < cc_downsample px may merge — safe
+    # for DB kernels (shrunk regions have wide gaps), off by default.
+    if cc_downsample > 1:
+        d = cc_downsample
+        if H % d or W % d:
+            raise ValueError(f"H, W must be multiples of cc_downsample={d}")
+        fg_c = jax.lax.reduce_window(
+            fg, False, jnp.logical_or, (d, d), (d, d), "VALID")
+        labels_c = label_components(fg_c, cc_iters)
+        roots_flat = labels_c.reshape(-1)
+        lin_c = jnp.arange((H // d) * (W // d), dtype=jnp.int32)
+        is_root = (roots_flat == lin_c)
+        root_src = roots_flat
+        labels = jnp.repeat(jnp.repeat(labels_c, d, 0), d, 1)
+        flat_lab = jnp.where(fg.reshape(-1), labels.reshape(-1), _BIG)
+    else:
+        labels = label_components(fg, cc_iters)
+        flat_lab = labels.reshape(-1)
+        lin_f = jnp.arange(H * W, dtype=jnp.int32)
+        is_root = (flat_lab == lin_f)
+        root_src = flat_lab
     lin = jnp.arange(H * W, dtype=jnp.int32)
-
-    # ---- C root labels in raster order (no scatters: top_k compaction) ----
-    is_root = (flat_lab == lin)
-    root_vals = jnp.where(is_root, flat_lab, _BIG)
+    root_vals = jnp.where(is_root, root_src, _BIG)
     # smallest C root indices == raster-order components
     neg_top, _ = jax.lax.top_k(-root_vals, C)                 # (C,)
     root_ids = -neg_top                                        # ascending

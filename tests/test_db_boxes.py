@@ -91,8 +91,10 @@ def test_rotated_component_gets_oriented_box():
         prob[30 + i, 30 + i] = 0.95
         prob[31 + i, 30 + i] = 0.95
         prob[30 + i, 31 + i] = 0.95
+    # cc_iters=24: thin diagonals are the worst case for run-scan CCL (row
+    # runs are ~2 px), unlike the filled bands real DB kernels produce
     out = extract_boxes(jnp.asarray(prob), max_candidates=8, min_box_size=1,
-                        unclip_ratio=0.0)
+                        unclip_ratio=0.0, cc_iters=24)
     valid = np.asarray(out["valid"])
     assert valid.sum() == 1
     box = np.asarray(out["boxes"])[valid][0]

@@ -92,3 +92,29 @@ def test_homography_roundtrip_corners():
     mapped = dst @ H.T
     mapped = mapped[:, :2] / mapped[:, 2:3]
     np.testing.assert_allclose(mapped, quad[0], atol=0.05)
+
+
+def test_separable_matches_gather_axis_aligned():
+    """Separable (matmul) warp equals the gather warp on axis-aligned quads."""
+    import jax.numpy as jnp
+    from ocrjax.ops.warp import warp_quads_grouped, warp_quads_separable
+
+    rng = np.random.RandomState(3)
+    pages = jnp.asarray(rng.rand(2, 128, 128).astype(np.float32))
+    quads = np.array([
+        [[[10, 20], [95, 20], [95, 45], [10, 45]],
+         [[5, 60], [80, 60], [80, 80], [5, 80]]],
+        [[[30, 30], [120, 30], [120, 55], [30, 55]],
+         [[0, 0], [63, 0], [63, 31], [0, 31]]],
+    ], np.float32)
+    sa, wa = warp_quads_separable(pages, jnp.asarray(quads),
+                                  rec_height=32, bucket_width=128)
+    sg, wg = warp_quads_grouped(pages, jnp.asarray(quads),
+                                rec_height=32, bucket_width=128)
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(wg))
+    for b in range(2):
+        for k in range(2):
+            w = int(wa[b, k])
+            np.testing.assert_allclose(
+                np.asarray(sa)[b, k][:, :w], np.asarray(sg)[b, k][:, :w],
+                atol=2e-3)
