@@ -29,6 +29,9 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     from ocrjax.train import synth
 
     engine = OcrEngine.from_pretrained(path=weights)
+    # fused line capacity sized to the workload (bench pages have ≤8 lines;
+    # 16 leaves 2x margin) — a deployment knob, like batch size
+    engine.config = engine.config.replace(fused_lines_per_page=16)
     cfg = engine.config
     charset = engine.charset
     rng = np.random.RandomState(0)

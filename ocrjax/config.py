@@ -33,9 +33,10 @@ class OcrConfig:
                                      # sweep has whole-run reach, so this is
                                      # the component "bend count" (text
                                      # blobs converge in 2-3)
-    det_cc_downsample: int = 2       # CCL on an OR-pooled coarse grid (4x
+    det_cc_downsample: int = 4       # CCL on an OR-pooled coarse grid (16x
                                      # less scan traffic); components closer
-                                     # than this many px may merge
+                                     # than this many px may merge (e2e
+                                     # quality measured identical at 960px)
 
     # --- recognition preprocess (SURVEY.md §2.1 R1) ---
     rec_height: int = 32             # fixed input height of line crops
@@ -52,6 +53,8 @@ class OcrConfig:
 
     # --- batching / tiling (C4, C5; SURVEY.md §2.3 N12/N13) ---
     line_batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
+    fused_lines_per_page: int = 32   # static per-page line capacity of the
+                                     # fused e2e program (size to workload)
     tile_size: int = 2048            # C5: tiled detection at 2048px
     tile_overlap: int = 128
     tile_merge_iou: float = 0.3

@@ -45,10 +45,17 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
     W = bucket_width
 
     @jax.jit
-    def fused(det_vars, rec_vars, canvases_u8):
-        B = canvases_u8.shape[0]
+    def fused(det_vars, rec_vars, gray_u8):
+        """gray_u8: (B, S, S) luma canvases — single-channel upload (the
+        host↔device link is the e2e bottleneck: 44 MB of RGB canvases cost
+        ~530 ms through the tunnel vs ~180 ms for luma). Detection runs on
+        luma broadcast to RGB — identical to RGB for monochrome documents;
+        color-critical pages can use the bucketed path."""
+        B = gray_u8.shape[0]
         # ---- detection -----------------------------------------------------
-        x = preprocess.det_normalize(canvases_u8, cfg.det_mean, cfg.det_std)
+        x = preprocess.det_normalize(
+            jnp.repeat(gray_u8[..., None], 3, axis=-1),
+            cfg.det_mean, cfg.det_std)
         prob = st.model.apply(det_vars, x)["prob"]            # (B, S, S)
         cand = jax.vmap(lambda p: db_boxes.extract_boxes(
             p, thresh=cfg.det_thresh, box_thresh=cfg.det_box_thresh,
@@ -66,9 +73,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         line_valid = top_s > 0.0                                # (B, K)
 
         # ---- grouped batched warp off the normalized gray canvases ---------
-        gray = canvases_u8.astype(jnp.float32) @ jnp.array(
-            [0.299, 0.587, 0.114], jnp.float32)                 # (B, S, S)
-        gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
+        gray = (gray_u8.astype(jnp.float32) / 255.0
+                - cfg.rec_mean) / cfg.rec_std                   # (B, S, S)
         warp = warp_quads_separable if separable_warp else warp_quads_grouped
         strips_bk, widths_bk = warp(
             gray, quads, rec_height=H, bucket_width=W)
@@ -93,7 +99,7 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
     return fused
 
 
-def ocr_pages_fused(engine, images, lines_per_page: int = 32,
+def ocr_pages_fused(engine, images, lines_per_page: int = None,
                     bucket_width: int = 320) -> List["OcrResult"]:
     """Batched end-to-end through the fused program. Same result contract as
     bucketing.ocr_pages (per-page OcrResult, reading order, original coords).
@@ -101,6 +107,8 @@ def ocr_pages_fused(engine, images, lines_per_page: int = 32,
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
+    if lines_per_page is None:
+        lines_per_page = cfg.fused_lines_per_page
     B = len(images)
     if B == 0:
         return []
@@ -112,21 +120,33 @@ def ocr_pages_fused(engine, images, lines_per_page: int = 32,
         cache[key] = make_fused_ocr_fn(engine, lines_per_page, bucket_width)
     fused = cache[key]
 
-    canvases = np.zeros((B, cfg.det_max_side, cfg.det_max_side, 3), np.uint8)
+    grays = np.zeros((B, cfg.det_max_side, cfg.det_max_side), np.uint8)
     scales = np.ones((B,), np.float64)
     valid_hw = np.zeros((B, 2), np.int64)
     ok = np.ones((B,), bool)
     for i, image in enumerate(images):
         try:
             img = preprocess.load_image(image)
-            canvases[i], scales[i], valid_hw[i] = \
+            canvas, scales[i], valid_hw[i] = \
                 preprocess.det_resize_to_canvas(img, cfg)
+            grays[i] = preprocess.to_gray(canvas)
         except Exception:  # noqa: BLE001 — per-page isolation
             ok[i] = False
 
     from ocrjax.api_det import _det_state
     st = _det_state(engine)
-    out = fused(st.variables, engine.rec_variables, jnp.asarray(canvases))
+    if B >= 8 and B % 2 == 0:
+        # split-half async dispatch: the second half's upload overlaps the
+        # first half's compute (jax dispatch is async until results are read)
+        h = B // 2
+        out_a = fused(st.variables, engine.rec_variables,
+                      jax.device_put(grays[:h]))
+        out_b = fused(st.variables, engine.rec_variables,
+                      jax.device_put(grays[h:]))
+        out = {k: jnp.concatenate([out_a[k], out_b[k]], axis=0)
+               for k in out_a}
+    else:
+        out = fused(st.variables, engine.rec_variables, jnp.asarray(grays))
     tokens = np.asarray(out["tokens"])
     n_tokens = np.asarray(out["n_tokens"])
     conf = np.asarray(out["conf"])

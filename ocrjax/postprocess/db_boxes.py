@@ -131,14 +131,25 @@ def extract_boxes(
         is_root = (roots_flat == lin_c)
         root_src = roots_flat
         labels = jnp.repeat(jnp.repeat(labels_c, d, 0), d, 1)
-        flat_lab = jnp.where(fg.reshape(-1), labels.reshape(-1), _BIG)
+        # stats on a stride-2 pixel subsample: labels are block-constant
+        # after the repeat, so the partition is exact; extents lose ≤1 px
+        # (absorbed by unclip) and the broadcast reductions below — the
+        # dominant cost at full res — shrink 4x.
+        stat_stride = 2
     else:
         labels = label_components(fg, cc_iters)
-        flat_lab = labels.reshape(-1)
         lin_f = jnp.arange(H * W, dtype=jnp.int32)
-        is_root = (flat_lab == lin_f)
-        root_src = flat_lab
-    lin = jnp.arange(H * W, dtype=jnp.int32)
+        is_root = (labels.reshape(-1) == lin_f)
+        root_src = labels.reshape(-1)
+        stat_stride = 1
+
+    s_ = stat_stride
+    fg_s = fg[::s_, ::s_]
+    labels_s = labels[::s_, ::s_]
+    prob_s = prob[::s_, ::s_]
+    Hs_, Ws_ = fg_s.shape
+    flat_lab = jnp.where(fg_s.reshape(-1), labels_s.reshape(-1), _BIG)
+    lin = jnp.arange(Hs_ * Ws_, dtype=jnp.int32)
     root_vals = jnp.where(is_root, root_src, _BIG)
     # smallest C root indices == raster-order components
     neg_top, _ = jax.lax.top_k(-root_vals, C)                 # (C,)
@@ -151,9 +162,9 @@ def extract_boxes(
     # scatter ops (near-serial on TPU) with dense matmul/reduce traffic.
     mask = (flat_lab[:, None] == root_ids[None, :])            # (P, C)
 
-    ys = (lin // W).astype(jnp.float32)
-    xs = (lin % W).astype(jnp.float32)
-    pv = prob.reshape(-1)
+    ys = (lin // Ws_).astype(jnp.float32) * s_   # original-pixel coords
+    xs = (lin % Ws_).astype(jnp.float32) * s_
+    pv = prob_s.reshape(-1)
     # centered coords keep the second moments in f32's exact range (raw
     # x*x sums cancel catastrophically in var = E[x²] − E[x]²)
     xc = xs - (W - 1) / 2.0
@@ -161,9 +172,13 @@ def extract_boxes(
     vals = jnp.stack(
         [jnp.ones_like(xs), xc, yc, xc * xc, yc * yc, xc * yc, pv],
         axis=1)                                                # (P, 7)
+    # precision=HIGHEST: the TPU MXU default truncates f32 operands to bf16,
+    # which destroys the second moments (var = E[x²]−E[x]² cancels at ~0.4%
+    # relative error → garbage PCA angles → tilted boxes)
     moments = jnp.einsum(
         "pc,pv->cv", mask.astype(jnp.float32), vals,
-        preferred_element_type=jnp.float32)                    # (C, 7)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                   # (C, 7)
     cnt, sx, sy, sxx, syy, sxy, sp = [moments[:, i] for i in range(7)]
 
     n = jnp.maximum(cnt, 1.0)
@@ -182,6 +197,13 @@ def extract_boxes(
     umax = jnp.max(jnp.where(mask, u_pc, -inf), axis=0)
     vmin = jnp.min(jnp.where(mask, v_pc, inf), axis=0)
     vmax = jnp.max(jnp.where(mask, v_pc, -inf), axis=0)
+    if s_ > 1:
+        # strided sampling misses boundary pixels at odd coords: extents are
+        # biased tight by up to (s-1) px per side — enough to clip edge
+        # glyphs and flip characters. Compensate outward.
+        pad_ = float(s_ - 1)
+        umin, umax = umin - pad_, umax + pad_
+        vmin, vmax = vmin - pad_, vmax + pad_
 
     # ---- filters (pre-unclip, like DB's sside check) ----------------------
     bw = jnp.where(has_comp, umax - umin + 1.0, 0.0)

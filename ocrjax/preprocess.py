@@ -81,9 +81,14 @@ def det_resize_to_canvas(
     """
     S = cfg.det_max_side
     h, w = img.shape[:2]
+    if (h, w) == (S, S):  # already canvas-sized: no resize, no copy
+        return np.ascontiguousarray(img), 1.0, (h, w)
     scale = min(S / max(h, w), 1.0)
     nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
-    resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    if scale < 1.0:
+        resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    else:
+        resized = img
     canvas = np.zeros((S, S, 3), np.uint8)
     canvas[:nh, :nw] = resized
     return canvas, nh / h, (nh, nw)
