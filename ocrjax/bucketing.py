@@ -27,6 +27,11 @@ from ocrjax import geometry, preprocess
 from ocrjax.ops.warp import warp_quads_multi
 
 
+@jax.jit
+def _normalize_gray(gray_u8, mean, std):
+    return (gray_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def assign_width_buckets(est_widths: np.ndarray, buckets: Sequence[int]
                          ) -> Dict[int, np.ndarray]:
     """Group indices by the smallest bucket ≥ estimated width."""
@@ -55,21 +60,24 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
         return []
 
     # ---- decode + canvas (host) -------------------------------------------
-    canvases = np.zeros((B, cfg.det_max_side, cfg.det_max_side, 3), np.uint8)
+    grays = np.zeros((B, cfg.det_max_side, cfg.det_max_side), np.uint8)
     scales = np.ones((B,), np.float64)
     valid_hw = np.zeros((B, 2), np.int64)
     ok = np.ones((B,), bool)
     for i, image in enumerate(images):
         try:
             img = preprocess.load_image(image)
-            canvases[i], scales[i], valid_hw[i] = \
+            canvas, scales[i], valid_hw[i] = \
                 preprocess.det_resize_to_canvas(img, cfg)
+            grays[i] = preprocess.to_gray(canvas)
         except Exception:  # noqa: BLE001 — per-page isolation (SURVEY.md §5)
             ok[i] = False
 
     # ---- one batched detection program ------------------------------------
+    # single u8 luma upload, reused by detection AND the warp below
+    grays_dev = jnp.asarray(grays)
     st = _det_state(engine)
-    prob, cand = st.forward(st.variables, jnp.asarray(canvases))
+    prob, cand = st.forward(st.variables, grays_dev)
     boxes = np.asarray(cand["boxes"])
     scores = np.asarray(cand["scores"])
     valid = np.array(cand["valid"])  # writable copy (np.asarray of a jax
@@ -96,11 +104,8 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     quads = np.asarray(quads, np.float32)
     est_w = _estimate_strip_widths(quads, cfg.rec_height)
 
-    # normalized gray canvases, once, on device
-    gray = np.stack([preprocess.to_gray(c) for c in canvases]).astype(
-        np.float32)
-    gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
-    gray_dev = jnp.asarray(gray)
+    # normalize the already-uploaded luma canvases on device
+    gray_dev = _normalize_gray(grays_dev, cfg.rec_mean, cfg.rec_std)
 
     # ---- per width-bucket pooled warp + recognize --------------------------
     texts = [None] * len(quads)

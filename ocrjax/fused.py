@@ -53,9 +53,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         color-critical pages can use the bucketed path."""
         B = gray_u8.shape[0]
         # ---- detection -----------------------------------------------------
-        x = preprocess.det_normalize(
-            jnp.repeat(gray_u8[..., None], 3, axis=-1),
-            cfg.det_mean, cfg.det_std)
+        x = preprocess.det_normalize_gray(
+            gray_u8, cfg.det_mean, cfg.det_std)
         prob = st.model.apply(det_vars, x)["prob"]            # (B, S, S)
         cand = jax.vmap(lambda p: db_boxes.extract_boxes(
             p, thresh=cfg.det_thresh, box_thresh=cfg.det_box_thresh,

@@ -122,6 +122,26 @@ def rec_normalize(batch_u8: jnp.ndarray, mean: float = 0.5, std: float = 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("mean", "std"))
+def det_normalize_gray(
+    gray_u8: jnp.ndarray,
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """(B, S, S) uint8 luma → float32 NHWC RGB-normalized (broadcast).
+
+    Single-channel uploads are 3x cheaper over the host↔device link; for
+    monochrome documents the result is identical to det_normalize on the
+    replicated-RGB canvas.
+    """
+    if gray_u8.ndim == 2:
+        gray_u8 = gray_u8[None]
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    x = gray_u8.astype(jnp.float32)[..., None] * (1.0 / 255.0)
+    return (x - m) / s
+
+
+@functools.partial(jax.jit, static_argnames=("mean", "std"))
 def det_normalize(
     canvas_u8: jnp.ndarray,
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),

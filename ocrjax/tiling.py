@@ -82,10 +82,12 @@ def detect_tiled(engine, image) -> List["DetBox"]:
     T = cfg.tile_size
     corners = tile_grid(h, w, T, cfg.tile_overlap)
 
-    # pad image so every tile is full-size (fixed shapes)
+    # pad image so every tile is full-size (fixed shapes); luma tiles —
+    # single-channel uploads (see det_normalize_gray)
+    gray = preprocess.to_gray(img)
     ph, pw = max(h, T), max(w, T)
-    padded = np.zeros((ph, pw, 3), np.uint8)
-    padded[:h, :w] = img
+    padded = np.zeros((ph, pw), np.uint8)
+    padded[:h, :w] = gray
 
     tiles = np.stack([padded[y:y + T, x:x + T] for (y, x) in corners])
 
@@ -93,7 +95,8 @@ def detect_tiled(engine, image) -> List["DetBox"]:
 
     @jax.jit
     def fwd(variables, tiles_u8):
-        x = preprocess.det_normalize(tiles_u8, cfg.det_mean, cfg.det_std)
+        x = preprocess.det_normalize_gray(
+            tiles_u8, cfg.det_mean, cfg.det_std)
         prob = st.model.apply(variables, x)["prob"]
         return jax.vmap(
             lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob)
