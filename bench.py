@@ -24,7 +24,9 @@ def main():
 
     from ocrjax.bench_lib import run_bench
 
-    report = run_bench(pages=16, lines=256, repeats=3)
+    # 48 pages = 3 pipelined fused chunks: sustained-throughput regime where
+    # chunk k+1's upload overlaps chunk k's compute (see fused.ocr_pages_fused)
+    report = run_bench(pages=48, lines=256, repeats=3)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

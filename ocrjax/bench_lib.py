@@ -71,13 +71,16 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
             rng, charset, size=(cfg.det_max_side, cfg.det_max_side))
         imgs.append(np.repeat(page[..., None], 3, axis=2))
 
-    engine.ocr_batch(imgs)  # warmup at the REAL batch shape (compiles here)
+    # bucketed path syncs per width bucket, so it is RTT-bound on the remote
+    # link — measure it on a small batch (informational; fused is headline)
+    bucketed_n = min(pages, 8)
+    engine.ocr_batch(imgs[:bucketed_n])  # warmup (compiles here)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        engine.ocr_batch(imgs)
+        engine.ocr_batch(imgs[:bucketed_n])
         times.append(time.perf_counter() - t0)
-    report["pages_per_sec_bucketed"] = pages / min(times)
+    report["pages_per_sec_bucketed"] = bucketed_n / min(times)
 
     engine.ocr_batch(imgs, fused=True)  # warmup at the real batch shape
     times = []

@@ -55,6 +55,11 @@ class OcrConfig:
     line_batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
     fused_lines_per_page: int = 32   # static per-page line capacity of the
                                      # fused e2e program (size to workload)
+    fused_chunk_pages: int = 16      # pages per fused-program call; large
+                                     # batches are cut into chunks dispatched
+                                     # ahead so upload/compute/download of
+                                     # neighboring chunks overlap on the
+                                     # host-device link
     tile_size: int = 2048            # C5: tiled detection at 2048px
     tile_overlap: int = 128
     tile_merge_iou: float = 0.3

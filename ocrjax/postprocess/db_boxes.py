@@ -255,4 +255,5 @@ def extract_boxes_from_config(prob: jnp.ndarray, cfg) -> Dict[str, jnp.ndarray]:
         max_candidates=cfg.det_max_candidates,
         min_box_size=cfg.det_min_box_size,
         cc_iters=cfg.det_cc_iters,
+        cc_downsample=cfg.det_cc_downsample,
     )
