@@ -60,23 +60,46 @@ class _DetState:
             static_argnames=("max_candidates", "cc_iters", "cc_downsample"))
         def boxes_fn(prob, thresh, box_thresh, unclip_ratio, min_box_size,
                      max_candidates, cc_iters, cc_downsample):
-            return jax.vmap(lambda p: db_boxes.extract_boxes(
+            out = jax.vmap(lambda p: db_boxes.extract_boxes(
                 p, thresh=thresh, box_thresh=box_thresh,
                 unclip_ratio=unclip_ratio, min_box_size=min_box_size,
                 max_candidates=max_candidates, cc_iters=cc_iters,
                 cc_downsample=cc_downsample))(prob)
+            return pack_det(out)
 
         def forward(variables, gray_u8):
+            """→ (prob [device], packed candidates [device]) — fetch the
+            packed array with ONE np.asarray; see unpack_det."""
             c = self.engine.config
             prob = prob_fn(variables, gray_u8)
-            out = boxes_fn(prob, c.det_thresh, c.det_box_thresh,
-                           c.det_unclip_ratio, float(c.det_min_box_size),
-                           max_candidates=c.det_max_candidates,
-                           cc_iters=c.det_cc_iters,
-                           cc_downsample=c.det_cc_downsample)
-            return prob, out
+            packed = boxes_fn(prob, c.det_thresh, c.det_box_thresh,
+                              c.det_unclip_ratio, float(c.det_min_box_size),
+                              max_candidates=c.det_max_candidates,
+                              cc_iters=c.det_cc_iters,
+                              cc_downsample=c.det_cc_downsample)
+            return prob, packed
 
         self.forward = forward
+
+
+def pack_det(out) -> jnp.ndarray:
+    """boxes/scores/valid dict → one (B, C*10) float32 array. Each fetched
+    buffer costs a full link RTT, so candidates travel as a single array."""
+    B, C = out["scores"].shape
+    return jnp.concatenate([
+        out["boxes"].reshape(B, C * 8),
+        out["scores"],
+        out["valid"].astype(jnp.float32),
+    ], axis=1)
+
+
+def unpack_det(packed: np.ndarray, C: int):
+    """Host-side inverse of pack_det → (boxes, scores, valid) ndarrays."""
+    B = packed.shape[0]
+    boxes = packed[:, :C * 8].reshape(B, C, 4, 2)
+    scores = packed[:, C * 8:C * 9]
+    valid = packed[:, C * 9:] > 0.5
+    return boxes, scores, valid
 
 
 def _det_state(engine) -> _DetState:
@@ -92,10 +115,10 @@ def _detect_canvas(engine, image):
         img, engine.config)
     canvas = preprocess.to_gray(canvas)
     st = _det_state(engine)
-    prob, cand = st.forward(st.variables, jnp.asarray(canvas[None]))
-    boxes = np.asarray(cand["boxes"])[0]
-    scores = np.asarray(cand["scores"])[0]
-    valid = np.asarray(cand["valid"])[0]
+    prob, packed = st.forward(st.variables, jnp.asarray(canvas[None]))
+    boxes, scores, valid = unpack_det(
+        np.asarray(packed), engine.config.det_max_candidates)
+    boxes, scores, valid = boxes[0], scores[0], valid[0]
     # drop candidates whose center lies in canvas padding
     cx = boxes[:, :, 0].mean(axis=1)
     cy = boxes[:, :, 1].mean(axis=1)
@@ -121,6 +144,21 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
+    if not beam and cfg.ocr_single_fused:
+        img = preprocess.load_image(image)
+        if max(img.shape[:2]) <= cfg.det_max_side:
+            # Latency path: one XLA program, one upload, one fetch (~2 link
+            # RTTs) instead of the ~6 syncs of the staged path below. Only
+            # for pages that fit the canvas un-downscaled (downscaled pages
+            # recognize from full-res original crops, see below).
+            from ocrjax import fused as F
+            res = F.ocr_pages_fused(engine, [img])[0]
+            if len(res.lines) < cfg.fused_lines_per_page:
+                return res
+            # every line slot filled → page may hold more lines than the
+            # fused program's static capacity; redo on the unbounded path
+        image = img
+
     img, canvas, scale, boxes, scores, valid = _detect_canvas(engine, image)
     idx = np.where(valid)[0]
     if len(idx) == 0:
@@ -178,6 +216,27 @@ def _rec_strips_jit(engine, strips, widths, beam: bool = False):
     if beam:
         kw["beam_width"] = engine.config.ctc_beam_width
     return decode(logits, frame_lengths, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "beam"))
+def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False):
+    """_rec_strips_jit with all outputs packed into one (n, T+2) float32
+    array so the host fetches a single buffer (one link RTT, not three)."""
+    tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
+        engine, strips, widths, beam=beam)
+    return jnp.concatenate([
+        tokens.astype(jnp.float32),
+        n_tokens[:, None].astype(jnp.float32),
+        conf[:, None],
+    ], axis=1)
+
+
+def unpack_rec(packed: np.ndarray, max_tokens: int):
+    """Host-side inverse of _rec_strips_packed_jit."""
+    T = max_tokens
+    return (packed[:, :T].astype(np.int32),
+            packed[:, T].astype(np.int32),
+            packed[:, T + 1])
 
 
 def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False):

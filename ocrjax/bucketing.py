@@ -52,7 +52,8 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     """C4 pooled batched OCR. Returns one OcrResult per input image."""
     from ocrjax.api import DetBox, OcrLine, OcrResult
     from ocrjax.api_det import (_det_state, _estimate_strip_widths,
-                                _rec_strips_jit)
+                                _rec_strips_packed_jit, unpack_det,
+                                unpack_rec)
 
     cfg = engine.config
     B = len(images)
@@ -77,11 +78,9 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     # single u8 luma upload, reused by detection AND the warp below
     grays_dev = jnp.asarray(grays)
     st = _det_state(engine)
-    prob, cand = st.forward(st.variables, grays_dev)
-    boxes = np.asarray(cand["boxes"])
-    scores = np.asarray(cand["scores"])
-    valid = np.array(cand["valid"])  # writable copy (np.asarray of a jax
-    # array is a read-only view)
+    prob, packed = st.forward(st.variables, grays_dev)
+    boxes, scores, valid = unpack_det(
+        np.asarray(packed), cfg.det_max_candidates)
     for i in range(B):
         nh, nw = valid_hw[i]
         cx = boxes[i, :, :, 0].mean(axis=1)
@@ -108,8 +107,12 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     gray_dev = _normalize_gray(grays_dev, cfg.rec_mean, cfg.rec_std)
 
     # ---- per width-bucket pooled warp + recognize --------------------------
+    # Dispatch every bucket's warp+rec program before reading ANY result and
+    # start the host copies async: bucket k+1 computes while bucket k
+    # downloads, and each bucket costs one fetch RTT instead of three.
     texts = [None] * len(quads)
     confs = [0.0] * len(quads)
+    pending = []
     for bucket_w, idx in assign_width_buckets(
             est_w, cfg.rec_width_buckets).items():
         n = len(idx)
@@ -118,9 +121,16 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
         strips, widths = warp_quads_multi(
             gray_dev, jnp.asarray(page_ids[sel]), jnp.asarray(quads[sel]),
             rec_height=cfg.rec_height, bucket_width=bucket_w)
-        tokens, n_tokens, conf = _rec_strips_jit(
-            engine, strips, widths, beam=beam)
-        tokens, n_tokens, conf = map(np.asarray, (tokens, n_tokens, conf))
+        out = _rec_strips_packed_jit(engine, strips, widths, beam=beam)
+        pending.append((idx, out))
+    for _, out in pending:
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+    for idx, out in pending:
+        tokens, n_tokens, conf = unpack_rec(
+            np.asarray(out), cfg.rec_max_tokens)
         for k, qi in enumerate(idx):
             texts[qi] = engine.charset.decode(tokens[k][: n_tokens[k]])
             confs[qi] = float(conf[k])

@@ -93,21 +93,23 @@ def detect_tiled(engine, image) -> List["DetBox"]:
 
     st = _det_state(engine)
 
+    from ocrjax.api_det import pack_det, unpack_det
+
     @jax.jit
     def fwd(variables, tiles_u8):
         x = preprocess.det_normalize_gray(
             tiles_u8, cfg.det_mean, cfg.det_std)
         prob = st.model.apply(variables, x)["prob"]
-        return jax.vmap(
-            lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob)
+        return pack_det(jax.vmap(
+            lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob))
 
     def run_chunked(tiles_np: np.ndarray, depth: int = 0):
         """OOM fallback (SURVEY.md §5 failure detection): halve the tile
         batch and retry when the device runs out of memory."""
         try:
-            cand = fwd(st.variables, jnp.asarray(tiles_np))
-            return (np.asarray(cand["boxes"]), np.asarray(cand["scores"]),
-                    np.asarray(cand["valid"]))
+            return unpack_det(
+                np.asarray(fwd(st.variables, jnp.asarray(tiles_np))),
+                cfg.det_max_candidates)
         except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
             if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
                     or len(tiles_np) <= 1:
