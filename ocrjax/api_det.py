@@ -27,7 +27,8 @@ import numpy as np
 from ocrjax import geometry, preprocess
 from ocrjax.models.db import create_db
 from ocrjax.ops import ctc
-from ocrjax.ops.warp import warp_quads
+from ocrjax.ops.warp import (expand_quads, snap_strips_to_ink, warp_quads,
+                             warp_quads_refined)
 from ocrjax.postprocess import db_boxes
 
 
@@ -174,6 +175,11 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
 
     # host decision: bucket count + strip width bucket (SURVEY.md §2.3 N13)
     quads_canvas = boxes[idx]                                  # (n, 4, 2)
+    if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
+        h_img, w_img = img.shape[:2]
+        quads_canvas = expand_quads(
+            quads_canvas, cfg.rec_crop_margin, cfg.rec_crop_margin,
+            bounds=np.asarray([w_img - 1.0, h_img - 1.0], np.float32))
     n = len(idx)
     nb = cfg.line_bucket_for_count(n)
     pad = nb - n
@@ -186,9 +192,18 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
     est_w = _estimate_strip_widths(quads_canvas[:n], cfg.rec_height)
     bucket_w = cfg.rec_bucket_for_width(int(est_w.max(initial=1)))
-    strips, widths = warp_quads(
-        jnp.asarray(gray), jnp.asarray(quads_canvas),
-        rec_height=cfg.rec_height, bucket_width=bucket_w)
+    if cfg.rec_snap_to_ink:
+        # two-pass: probe warp → ink-band quad refinement → full-res re-warp
+        # (ops.warp.refine_quads_to_ink for why not strip-space snapping)
+        h_img, w_img = img.shape[:2]
+        strips, widths = warp_quads_refined(
+            jnp.asarray(gray), jnp.asarray(quads_canvas),
+            jnp.asarray([w_img - 1.0, h_img - 1.0], jnp.float32),
+            rec_height=cfg.rec_height, bucket_width=bucket_w)
+    else:
+        strips, widths = warp_quads(
+            jnp.asarray(gray), jnp.asarray(quads_canvas),
+            rec_height=cfg.rec_height, bucket_width=bucket_w)
 
     tokens, n_tokens, conf = _rec_strips_jit(
         engine, strips, widths, beam=beam)
@@ -205,9 +220,15 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     return OcrResult(lines=lines)
 
 
-@functools.partial(jax.jit, static_argnames=("engine", "beam"))
-def _rec_strips_jit(engine, strips, widths, beam: bool = False):
-    """Recognition on already-normalized on-device strips (no u8 roundtrip)."""
+@functools.partial(jax.jit, static_argnames=("engine", "beam", "snap"))
+def _rec_strips_jit(engine, strips, widths, beam: bool = False,
+                    snap: bool = False):
+    """Recognition on already-normalized on-device strips (no u8 roundtrip).
+
+    snap=True re-crops each strip to its ink band first (detector crops
+    carry margin noise — see ops.warp.snap_strips_to_ink)."""
+    if snap:
+        strips, widths = snap_strips_to_ink.__wrapped__(strips, widths)
     logits, frame_lengths = engine.rec_model.apply(
         engine.rec_variables, strips[..., None], widths)
     decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
@@ -218,12 +239,13 @@ def _rec_strips_jit(engine, strips, widths, beam: bool = False):
     return decode(logits, frame_lengths, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("engine", "beam"))
-def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False):
+@functools.partial(jax.jit, static_argnames=("engine", "beam", "snap"))
+def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False,
+                           snap: bool = False):
     """_rec_strips_jit with all outputs packed into one (n, T+2) float32
     array so the host fetches a single buffer (one link RTT, not three)."""
     tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
-        engine, strips, widths, beam=beam)
+        engine, strips, widths, beam=beam, snap=snap)
     return jnp.concatenate([
         tokens.astype(jnp.float32),
         n_tokens[:, None].astype(jnp.float32),
@@ -239,24 +261,61 @@ def unpack_rec(packed: np.ndarray, max_tokens: int):
             packed[:, T + 1])
 
 
+def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
+                   ink_thresh: int = 128, min_count: int = 2):
+    """Host mirror of ops.warp.ink_boxes for full-res original-image crops:
+    tighten an (expanded) crop window to the ink band through its vertical
+    center, with pads matching the on-device refinement (~2-3 px at the
+    32-px strip scale)."""
+    crop = gray[y0:y1, x0:x1]
+    ink = crop < ink_thresh
+    rows = ink.sum(axis=1) >= min_count
+    if not rows.any():
+        return crop
+    c = crop.shape[0] // 2
+    if rows[c]:
+        a = b = c
+        while a > 0 and rows[a - 1]:
+            a -= 1
+        while b < len(rows) - 1 and rows[b + 1]:
+            b += 1
+    else:
+        ys = np.where(rows)[0]
+        a, b = int(ys.min()), int(ys.max())
+    cols = ink[a:b + 1].sum(axis=0) >= 1
+    if not cols.any():
+        return crop
+    xs = np.where(cols)[0]
+    band_h = b - a + 1
+    pad_y = max(1, round(band_h * 2 / 28))
+    pad_x = max(1, round(band_h * 3 / 28))
+    return crop[max(0, a - pad_y):b + 1 + pad_y,
+                max(0, int(xs.min()) - pad_x):int(xs.max()) + 1 + pad_x]
+
+
 def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False):
     """Full-resolution recognition for downscaled pages: axis-aligned hull
     crops from the original image → recognize_strips (bucketed)."""
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
+    cfg = engine.config
     h, w = img.shape[:2]
     gray = preprocess.to_gray(img)
     quads_orig, strips, ss = [], [], []
     for i in idx:
         q = geometry.scale_quads(boxes[i], scale)
-        x0 = int(max(0, np.floor(q[:, 0].min())))
-        x1 = int(min(w, np.ceil(q[:, 0].max()) + 1))
-        y0 = int(max(0, np.floor(q[:, 1].min())))
-        y1 = int(min(h, np.ceil(q[:, 1].max()) + 1))
+        margin = 0.0
+        if cfg.rec_snap_to_ink:
+            margin = cfg.rec_crop_margin * (q[:, 1].max() - q[:, 1].min() + 1)
+        x0 = int(max(0, np.floor(q[:, 0].min() - margin)))
+        x1 = int(min(w, np.ceil(q[:, 0].max() + margin) + 1))
+        y0 = int(max(0, np.floor(q[:, 1].min() - margin)))
+        y1 = int(min(h, np.ceil(q[:, 1].max() + margin) + 1))
         if x1 - x0 < 2 or y1 - y0 < 2:
             continue
         quads_orig.append(q)
-        strips.append(gray[y0:y1, x0:x1])
+        strips.append(_ink_crop_host(gray, x0, y0, x1, y1)
+                      if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))
     if not strips:
         return OcrResult(lines=[])

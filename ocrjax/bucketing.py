@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ocrjax import geometry, preprocess
-from ocrjax.ops.warp import warp_quads_multi
+from ocrjax.ops.warp import (expand_quads, warp_quads_multi,
+                             warp_quads_multi_refined)
 
 
 @jax.jit
@@ -101,7 +102,13 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
 
     page_ids = np.asarray(page_ids, np.int32)
     quads = np.asarray(quads, np.float32)
-    est_w = _estimate_strip_widths(quads, cfg.rec_height)
+    warp_src = quads  # reported boxes stay the detector's, only crops expand
+    if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
+        # per-quad bounds = that page's valid region (never sample canvas pad)
+        b = (valid_hw[page_ids][:, ::-1].astype(np.float32) - 1.0)[:, None, :]
+        warp_src = expand_quads(
+            quads, cfg.rec_crop_margin, cfg.rec_crop_margin, bounds=b)
+    est_w = _estimate_strip_widths(warp_src, cfg.rec_height)
 
     # normalize the already-uploaded luma canvases on device
     gray_dev = _normalize_gray(grays_dev, cfg.rec_mean, cfg.rec_std)
@@ -118,9 +125,18 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
         n = len(idx)
         nb = pad_count(n, cfg)
         sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
-        strips, widths = warp_quads_multi(
-            gray_dev, jnp.asarray(page_ids[sel]), jnp.asarray(quads[sel]),
-            rec_height=cfg.rec_height, bucket_width=bucket_w)
+        if cfg.rec_snap_to_ink:
+            b = (valid_hw[page_ids[sel]][:, ::-1].astype(np.float32)
+                 - 1.0)[:, None, :]
+            strips, widths = warp_quads_multi_refined(
+                gray_dev, jnp.asarray(page_ids[sel]),
+                jnp.asarray(warp_src[sel]), jnp.asarray(b),
+                rec_height=cfg.rec_height, bucket_width=bucket_w)
+        else:
+            strips, widths = warp_quads_multi(
+                gray_dev, jnp.asarray(page_ids[sel]),
+                jnp.asarray(warp_src[sel]),
+                rec_height=cfg.rec_height, bucket_width=bucket_w)
         out = _rec_strips_packed_jit(engine, strips, widths, beam=beam)
         pending.append((idx, out))
     for _, out in pending:

@@ -45,6 +45,12 @@ class OcrConfig:
     rec_std: float = 0.5
 
     # --- CRNN / CTC (SURVEY.md §2.1 R5, R6) ---
+    rec_snap_to_ink: bool = True     # re-crop warped strips to their ink
+                                     # band on device (canonicalizes det-box
+                                     # margin noise before recognition)
+    rec_crop_margin: float = 0.15    # pre-snap quad expansion, fraction of
+                                     # line height on every side (recovers
+                                     # glyphs the detector's box clipped)
     rec_hidden: int = 256            # BiLSTM hidden size
     rec_conv_channels: Tuple[int, ...] = (64, 128, 256, 512)
     ctc_blank: int = 0               # blank id (charset ids start at 1)

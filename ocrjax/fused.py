@@ -23,6 +23,7 @@ import numpy as np
 
 from ocrjax import geometry, preprocess
 from ocrjax.ops import ctc
+from ocrjax.ops import warp as warp_quads_lib
 from ocrjax.ops.warp import warp_quads_grouped, warp_quads_separable
 from ocrjax.postprocess import db_boxes
 
@@ -45,21 +46,28 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
     W = bucket_width
 
     @jax.jit
-    def fused(det_vars, rec_vars, gray_u8):
+    def fused(det_vars, rec_vars, gray_u8, thr, valid_wh):
         """gray_u8: (B, S, S) luma canvases — single-channel upload (the
         host↔device link is the e2e bottleneck: 44 MB of RGB canvases cost
         ~530 ms through the tunnel vs ~180 ms for luma). Detection runs on
         luma broadcast to RGB — identical to RGB for monochrome documents;
-        color-critical pages can use the bucketed path."""
+        color-critical pages can use the bucketed path.
+
+        thr: (4,) float32 [det_thresh, box_thresh, unclip_ratio,
+        min_box_size] — traced, so calibration sweeps and CLI flag tweaks
+        never recompile the heavy detection graph (same split as api_det).
+        valid_wh: (B, 2) float32 per-page valid (width, height) on the
+        canvas — crop expansion clips against it so the warp never samples
+        canvas padding (which is black and reads as ink to the snap)."""
         B = gray_u8.shape[0]
         # ---- detection -----------------------------------------------------
         x = preprocess.det_normalize_gray(
             gray_u8, cfg.det_mean, cfg.det_std)
         prob = st.model.apply(det_vars, x)["prob"]            # (B, S, S)
         cand = jax.vmap(lambda p: db_boxes.extract_boxes(
-            p, thresh=cfg.det_thresh, box_thresh=cfg.det_box_thresh,
-            unclip_ratio=cfg.det_unclip_ratio,
-            min_box_size=float(cfg.det_min_box_size),
+            p, thresh=thr[0], box_thresh=thr[1],
+            unclip_ratio=thr[2],
+            min_box_size=thr[3],
             max_candidates=cfg.det_max_candidates,
             cc_iters=cfg.det_cc_iters,
             cc_downsample=cfg.det_cc_downsample))(prob)
@@ -75,8 +83,30 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         gray = (gray_u8.astype(jnp.float32) / 255.0
                 - cfg.rec_mean) / cfg.rec_std                   # (B, S, S)
         warp = warp_quads_separable if separable_warp else warp_quads_grouped
+        warp_src = quads
+        if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
+            warp_src = warp_quads_lib.expand_quads(
+                quads, cfg.rec_crop_margin, cfg.rec_crop_margin,
+                bounds=(valid_wh - 1.0)[:, None, None, :])
         strips_bk, widths_bk = warp(
-            gray, quads, rec_height=H, bucket_width=W)
+            gray, warp_src, rec_height=H, bucket_width=W)
+        if cfg.rec_snap_to_ink:
+            # two-pass: the probe strips above locate each line's ink band;
+            # re-warp the refined boxes from the full-res canvas (see
+            # ops.warp.refine_quads_to_ink). AABB refine matches the
+            # separable warp's linear mapping; homography refine the exact
+            # grouped warp.
+            refine = (warp_quads_lib.refine_aabb_to_ink if separable_warp
+                      else warp_quads_lib.refine_quads_to_ink)
+            flat_b = jnp.broadcast_to(
+                (valid_wh - 1.0)[:, None, None, :], (B, K, 1, 2)
+            ).reshape(B * K, 1, 2)
+            refined = refine(
+                strips_bk.reshape(B * K, H, W), widths_bk.reshape(B * K),
+                warp_src.reshape(B * K, 4, 2), rec_height=H, bounds=flat_b)
+            strips_bk, widths_bk = warp(
+                gray, refined.reshape(B, K, 4, 2),
+                rec_height=H, bucket_width=W)
         strips = strips_bk.reshape(B * K, H, W)
         widths = widths_bk.reshape(B * K)
 
@@ -139,13 +169,22 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     B = len(images)
     if B == 0:
         return []
-    key = (lines_per_page, bucket_width)
+    # The program closes over every config field EXCEPT the four detection
+    # thresholds (those are traced args, see make_fused_ocr_fn), so the
+    # cache key is the config with thresholds normalized out — threshold
+    # sweeps reuse the compiled program, structural changes rebuild it.
+    key = (lines_per_page, bucket_width,
+           cfg.replace(det_thresh=0.0, det_box_thresh=0.0,
+                       det_unclip_ratio=0.0, det_min_box_size=0))
     cache = getattr(engine, "_fused_cache", None)
     if cache is None:
         cache = engine._fused_cache = {}
     if key not in cache:
         cache[key] = make_fused_ocr_fn(engine, lines_per_page, bucket_width)
     fused = cache[key]
+    thr = np.asarray([cfg.det_thresh, cfg.det_box_thresh,
+                      cfg.det_unclip_ratio, float(cfg.det_min_box_size)],
+                     np.float32)
 
     grays = np.zeros((B, cfg.det_max_side, cfg.det_max_side), np.uint8)
     scales = np.ones((B,), np.float64)
@@ -171,12 +210,15 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     # of at most fused_chunk_pages (remainder pages run as one extra call).
     C = max(1, min(cfg.fused_chunk_pages, B))
     n_full = B // C
+    valid_wh = valid_hw[:, ::-1].astype(np.float32)  # (B, 2) (w, h)
     outs = [fused(st.variables, engine.rec_variables,
-                  jax.device_put(grays[i * C:(i + 1) * C]))
+                  jax.device_put(grays[i * C:(i + 1) * C]), thr,
+                  valid_wh[i * C:(i + 1) * C])
             for i in range(n_full)]
     if B % C:
         outs.append(fused(st.variables, engine.rec_variables,
-                          jax.device_put(grays[n_full * C:])))
+                          jax.device_put(grays[n_full * C:]), thr,
+                          valid_wh[n_full * C:]))
     for o in outs:
         try:
             o.copy_to_host_async()

@@ -281,3 +281,223 @@ def warp_quads_separable(
 
     strips = jax.vmap(per_page)(pages, x0, x1, y0, y1, widths)
     return strips, widths
+
+
+def expand_quads(quads, frac_y: float, frac_x: float, bounds=None):
+    """Grow each quad outward by a fraction of its own height.
+
+    Detection boxes carry a +-15%-of-height margin error vs the tight ink box
+    (measured: SURVEY.md-style e2e probe); recognition therefore warps an
+    EXPANDED crop and re-crops to the ink band on-device
+    (snap_strips_to_ink), recovering glyphs the detector clipped. Margins are
+    height-scaled on both axes — a long line needs the same few-pixel slack
+    as a short one.
+
+    quads: (..., 4, 2) TL,TR,BR,BL (np or jnp). bounds: optional (max_x,
+    max_y) array broadcastable against the result — e.g. (2,) scalar page
+    bounds, or (N, 1, 2) per-quad — clipped against so expansion never
+    samples canvas padding.
+    """
+    xp = jnp if isinstance(quads, jnp.ndarray) else __import__("numpy")
+    down = (quads[..., 3, :] + quads[..., 2, :]) \
+        - (quads[..., 0, :] + quads[..., 1, :])              # 2·(bottom-top)
+    h = xp.sqrt(xp.maximum((down * down).sum(-1), 1e-12)) * 0.5  # (...,)
+    ey = down / (2.0 * h[..., None])                         # unit down vec
+    right = (quads[..., 1, :] + quads[..., 2, :]) \
+        - (quads[..., 0, :] + quads[..., 3, :])
+    wlen = xp.sqrt(xp.maximum((right * right).sum(-1), 1e-12)) * 0.5
+    ex = right / (2.0 * wlen[..., None])                     # unit right vec
+    my = (frac_y * h)[..., None, None] * ey[..., None, :]    # (..., 1, 2)
+    mx = (frac_x * h)[..., None, None] * ex[..., None, :]
+    sy = xp.asarray([-1.0, -1.0, 1.0, 1.0]).reshape(
+        (1,) * (quads.ndim - 2) + (4, 1))
+    sx = xp.asarray([-1.0, 1.0, 1.0, -1.0]).reshape(
+        (1,) * (quads.ndim - 2) + (4, 1))
+    out = quads + sy * my + sx * mx
+    if bounds is not None:
+        out = xp.clip(out, 0.0, xp.asarray(bounds, out.dtype))
+    return out
+
+
+def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
+              *, ink_thresh: float = 0.0, min_count: int = 2,
+              pad_y: float = 2.0, pad_x: float = 3.0):
+    """Per-strip padded bbox of the ink band containing the vertical center.
+
+    The contiguous-run-through-center rule rejects fragments of NEIGHBORING
+    lines that an expanded crop pulls in at the strip's top/bottom edge.
+    Returns (x0, y0, x1, y1, ok) — float strip coords (may poke outside the
+    strip by the pads; samplers clamp), ok=False where no ink was found.
+    """
+    N, H, W = strips.shape
+    col_in = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1) \
+        < widths[:, None]
+    ink = (strips < ink_thresh) & col_in[:, None, :]          # (N, H, W)
+
+    # --- row band: contiguous ink-row run containing the center row -------
+    rows = jnp.sum(ink, axis=2) >= min_count                  # (N, H)
+    r = jnp.arange(H)
+    center = H // 2
+    empty = ~rows
+    last_empty_above = jax.lax.cummax(
+        jnp.where(empty, r[None, :], -1), axis=1)
+    first_empty_below = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(empty, r[None, :], H), 1), axis=1), 1)
+    band_y0 = last_empty_above[:, center] + 1
+    band_y1 = first_empty_below[:, center] - 1
+    band_ok = band_y1 >= band_y0
+    # fallback: global row bbox (text line sits off-center in the strip)
+    any_row = rows.any(axis=1)
+    g_y0 = jnp.argmax(rows, axis=1)
+    g_y1 = H - 1 - jnp.argmax(jnp.flip(rows, 1), axis=1)
+    y0 = jnp.where(band_ok, band_y0, g_y0).astype(jnp.float32)
+    y1 = jnp.where(band_ok, band_y1, g_y1).astype(jnp.float32)
+
+    # --- column bbox inside the row band -----------------------------------
+    band = (r[None, :] >= y0[:, None]) & (r[None, :] <= y1[:, None])
+    cols = jnp.sum(ink & band[:, :, None], axis=1) >= 1       # (N, W)
+    any_col = cols.any(axis=1)
+    x0 = jnp.argmax(cols, axis=1).astype(jnp.float32)
+    x1 = (W - 1 - jnp.argmax(jnp.flip(cols, 1), axis=1)).astype(jnp.float32)
+    ok = (band_ok | any_row) & any_col
+    return x0 - pad_x, y0 - pad_y, x1 + pad_x, y1 + pad_y, ok
+
+
+def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
+                        quads: jnp.ndarray, *, rec_height: int,
+                        ink_thresh: float = 0.0, min_count: int = 2,
+                        pad_y: float = 2.0, pad_x: float = 3.0,
+                        bounds=None) -> jnp.ndarray:
+    """Two-pass warp refinement, homography variant (warp_quads/_multi).
+
+    Pass 1 warps an EXPANDED detection quad (see expand_quads) into a probe
+    strip; this maps the probe's ink band back through the SAME pass-1
+    homography into page coords. Re-warping the refined quad samples the
+    page at full resolution — unlike snapping the probe strip itself, which
+    upscales pixels the loose pass-1 crop already blurred (measured: strip-
+    space snap cost 0.2 line-exact e2e; two-pass refine is lossless).
+
+    strips/widths: pass-1 output for `quads`. Returns refined quads; strips
+    with no detectable ink keep their original quad.
+    """
+    N, H, W = strips.shape
+    x0, y0, x1, y1, ok = ink_boxes(
+        strips, widths, ink_thresh=ink_thresh, min_count=min_count,
+        pad_y=pad_y, pad_x=pad_x)
+    heights = jnp.full((N,), rec_height, jnp.int32)
+    Hs = solve_homographies(quads, heights, widths)           # strip→page
+    us = jnp.stack([x0, x1, x1, x0], axis=1)                  # (N, 4)
+    vs = jnp.stack([y0, y0, y1, y1], axis=1)
+    pts = jnp.stack([us, vs, jnp.ones_like(us)], axis=-1)     # (N, 4, 3)
+    proj = jnp.einsum("nij,nkj->nki", Hs, pts)
+    denom = proj[..., 2:]
+    denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    refined = proj[..., :2] / denom
+    refined = jnp.where(ok[:, None, None], refined, quads)
+    if bounds is not None:
+        refined = jnp.clip(refined, 0.0, jnp.asarray(bounds, refined.dtype))
+    return refined
+
+
+def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
+                       quads: jnp.ndarray, *, rec_height: int,
+                       ink_thresh: float = 0.0, min_count: int = 2,
+                       pad_y: float = 2.0, pad_x: float = 3.0,
+                       bounds=None) -> jnp.ndarray:
+    """Two-pass refinement, AABB variant (matches warp_quads_separable's
+    linear strip↔page mapping). quads (N, 4, 2) → refined RECT quads."""
+    N, H, W = strips.shape
+    xs0, ys0, xs1, ys1, ok = ink_boxes(
+        strips, widths, ink_thresh=ink_thresh, min_count=min_count,
+        pad_y=pad_y, pad_x=pad_x)
+    xa = quads[..., 0].min(axis=-1)
+    xb = quads[..., 0].max(axis=-1)
+    ya = quads[..., 1].min(axis=-1)
+    yb = quads[..., 1].max(axis=-1)
+    sy = (yb - ya) / (rec_height - 1.0)
+    sx = (xb - xa) / jnp.maximum(widths.astype(jnp.float32) - 1.0, 1.0)
+    ya2 = ya + ys0 * sy
+    yb2 = ya + ys1 * sy
+    xa2 = xa + xs0 * sx
+    xb2 = xa + xs1 * sx
+    refined = jnp.stack([
+        jnp.stack([xa2, ya2], -1), jnp.stack([xb2, ya2], -1),
+        jnp.stack([xb2, yb2], -1), jnp.stack([xa2, yb2], -1)], axis=-2)
+    refined = jnp.where(ok[:, None, None], refined, quads)
+    if bounds is not None:
+        refined = jnp.clip(refined, 0.0, jnp.asarray(bounds, refined.dtype))
+    return refined
+
+
+@jax.jit
+def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
+                       *, ink_thresh: float = 0.0, min_count: int = 2,
+                       pad_y: float = 2.0, pad_x: float = 3.0
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-crop each strip to the ink band containing its vertical center.
+
+    Strip-space resample: cheap, but upscaling re-blurs detail the pass-1
+    warp already lost — prefer the two-pass refine_quads_to_ink /
+    refine_aabb_to_ink + re-warp when the source page is available.
+
+    strips: (N, H, W) float32, normalized grayscale (ink < ink_thresh <
+    background; zero beyond each strip's width). Returns (snapped strips,
+    new widths); strips with no detectable ink pass through unchanged.
+    """
+    N, H, W = strips.shape
+    x0, y0, x1, y1, ok = ink_boxes(
+        strips, widths, ink_thresh=ink_thresh, min_count=min_count,
+        pad_y=pad_y, pad_x=pad_x)
+
+    # --- padded source box → aspect-preserving affine resample -------------
+    src_h = y1 - y0 + 1.0
+    src_w = x1 - x0 + 1.0
+    s = jnp.minimum(H / src_h, W / src_w)     # cap: never overflow the bucket
+    new_w = jnp.clip(jnp.round(src_w * s), 1, W).astype(jnp.int32)
+    new_h = jnp.clip(jnp.round(src_h * s), 1, H).astype(jnp.int32)
+
+    oy = (jnp.arange(H)[None, :] + 0.5) / s[:, None] + y0[:, None] - 0.5
+    ox = (jnp.arange(W)[None, :] + 0.5) / s[:, None] + x0[:, None] - 0.5
+
+    def one(img, xs, ys, nw, nh, okk, w_old):
+        X = jnp.broadcast_to(xs[None, :], (H, W))
+        Y = jnp.broadcast_to(ys[:, None], (H, W))
+        out = _bilinear_sample(img, X, Y)
+        keep = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) < nw) \
+            & (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) < nh)
+        return jnp.where(okk, jnp.where(keep, out, 0.0), img), \
+            jnp.where(okk, nw, w_old)
+
+    return jax.vmap(one)(strips, ox, oy, new_w, new_h, ok, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
+def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
+                       bucket_width: int = 320
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass warp_quads: probe → ink-band refine → full-res re-warp.
+
+    quads should already be EXPANDED (expand_quads) so clipped glyphs fall
+    inside the probe. bounds: (2,) or (N, 1, 2) page-valid (max_x, max_y).
+    """
+    strips, widths = warp_quads(
+        page, quads, rec_height=rec_height, bucket_width=bucket_width)
+    refined = refine_quads_to_ink(
+        strips, widths, quads, rec_height=rec_height, bounds=bounds)
+    return warp_quads(
+        page, refined, rec_height=rec_height, bucket_width=bucket_width)
+
+
+@functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
+def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
+                             rec_height: int = 32, bucket_width: int = 320
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass warp_quads_multi (pooled strips from a page batch)."""
+    strips, widths = warp_quads_multi(
+        pages, page_ids, quads,
+        rec_height=rec_height, bucket_width=bucket_width)
+    refined = refine_quads_to_ink(
+        strips, widths, quads, rec_height=rec_height, bounds=bounds)
+    return warp_quads_multi(
+        pages, page_ids, refined,
+        rec_height=rec_height, bucket_width=bucket_width)

@@ -88,12 +88,21 @@ def train_rec(
     log: Callable[[str], None] = print,
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 500,
+    init_variables=None,
+    det_crops=None,
+    det_crop_frac: float = 0.5,
 ) -> TrainResult:
+    """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
+    shipped assets — must match the model built from `config`/`charset`.
+
+    det_crops: optional train.det_crops.DetCropSet — real detector crops
+    with gt labels; each step draws its batch from them with probability
+    det_crop_frac (serving-distribution training, see det_crops module)."""
     config = config or OcrConfig()
     charset = charset or default_charset()
     model = create_crnn(config, charset.num_classes)
 
-    variables = model.init(
+    variables = init_variables or model.init(
         jax.random.PRNGKey(seed),
         jnp.zeros((1, config.rec_height, width, 1), jnp.float32))
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -120,9 +129,13 @@ def train_rec(
     history = []
     t0 = time.time()
     for step in range(start_step + 1, steps + 1):
-        lb = synth.make_line_batch(
-            rng, charset, batch_size, width, config.rec_height,
-            max_len=max_len)
+        if det_crops is not None and rng.rand() < det_crop_frac:
+            from ocrjax.train.det_crops import sample_batch
+            lb = sample_batch(det_crops, charset, rng, batch_size)
+        else:
+            lb = synth.make_line_batch(
+                rng, charset, batch_size, width, config.rec_height,
+                max_len=max_len)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state,
             jnp.asarray(lb.images), jnp.asarray(lb.widths),

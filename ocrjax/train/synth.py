@@ -107,18 +107,22 @@ def make_line_batch(
                         else int(rng.randint(height * 2 // 3, height * 2)))
             strip = render_line(
                 text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
-            # margin/crop jitter: detection hands the recognizer crops with
-            # slightly-cut glyphs (shrunk-kernel under-recovery) or extra
-            # whitespace (unclip overshoot). Jitter MILDLY — vertical margin
-            # is the size cue that disambiguates o/O-class pairs, so keep it
-            # tight (-6%..+15%) and allow more horizontal slack (-4%..+25%).
-            if rng.rand() < 0.6:
+            # margin/crop jitter: WIDE tolerance wins end-to-end. Serving
+            # re-crops strips to the ink band via the two-pass refined warp
+            # (ops.warp.refine_quads_to_ink), but refinement still leaves
+            # residual margin wobble, and wide-jitter weights measure best:
+            # e2e line-exact 0.85 (wide, below) vs 0.78 (tight -8..+12%
+            # jitter) vs 0.64 (no-jitter-era weights) on refined crops —
+            # even though CLEAN-strip exact-match ranks the other way
+            # (0.938 vs 0.977). 30% of samples stay clean to preserve the
+            # vertical-margin size cue for o/O-class pairs.
+            if rng.rand() < 0.7:
                 sh, sw = strip.shape
                 m = np.array([
-                    rng.randint(-sh * 6 // 100, sh * 15 // 100 + 1),
-                    rng.randint(-sh * 6 // 100, sh * 15 // 100 + 1),
-                    rng.randint(-sh * 4 // 100, sh * 25 // 100 + 1),
-                    rng.randint(-sh * 4 // 100, sh * 25 // 100 + 1),
+                    rng.randint(-sh * 15 // 100, sh * 50 // 100 + 1),
+                    rng.randint(-sh * 15 // 100, sh * 25 // 100 + 1),
+                    rng.randint(-sh * 15 // 100, sh * 30 // 100 + 1),
+                    rng.randint(-sh * 15 // 100, sh * 30 // 100 + 1),
                 ])  # top, bottom, left, right
                 padded = np.full((sh + max(m[0], 0) + max(m[1], 0),
                                   sw + max(m[2], 0) + max(m[3], 0)),

@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--finetune", action="store_true",
+                    help="warm-start from the shipped assets/rec.safetensors")
+    ap.add_argument("--mix-det-crops", type=int, default=0, metavar="PAGES",
+                    help="render PAGES pages, run the real detection+refined"
+                         "-warp path, and mix the resulting gt-labeled crops "
+                         "into training 50/50 (serving-distribution data)")
     args = ap.parse_args()
 
     import jax
@@ -45,16 +51,35 @@ def main():
     )
     charset = default_charset()
 
+    assets_p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "rec.safetensors")
+    out = args.out or assets_p
+
+    init_variables = None
+    if args.finetune:
+        init_variables = W.load_variables(assets_p)
+        print("warm-starting from", assets_p, flush=True)
+
+    det_crops = None
+    if args.mix_det_crops:
+        from ocrjax.api import OcrEngine
+        from ocrjax.train.det_crops import generate_det_crops
+
+        eng = OcrEngine.from_pretrained()
+        det_crops = generate_det_crops(
+            eng, n_pages=args.mix_det_crops, width=args.width)
+        print(f"det crops: {det_crops.images.shape[0]} strips from "
+              f"{args.mix_det_crops} pages", flush=True)
+
     result = train_rec(
         config=config, charset=charset, steps=args.steps,
         batch_size=args.batch, width=args.width, lr=args.lr,
         seed=args.seed, max_len=args.max_len,
         log=lambda m: print(m, flush=True),
+        init_variables=init_variables,
+        det_crops=det_crops,
     )
-
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "assets", "rec.safetensors")
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,
         "rec_conv_channels": list(config.rec_conv_channels),

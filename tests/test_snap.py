@@ -1,0 +1,108 @@
+"""snap_strips_to_ink / expand_quads vs numpy oracles (CPU).
+
+The snap kernel canonicalizes detector margin noise before recognition
+(SURVEY.md §7 step 8 quality pass); it must find the center ink band,
+ignore neighboring-line fragments at strip edges, and keep aspect.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ocrjax.ops.warp import expand_quads, snap_strips_to_ink
+
+
+def norm(u8):
+    return (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def make_strip(H=32, W=96, band=(8, 24), cols=(10, 60), value=0):
+    s = np.full((H, W), 255, np.uint8)
+    s[band[0]:band[1] + 1, cols[0]:cols[1] + 1] = value
+    return s
+
+
+def test_snap_centers_and_scales_band():
+    H, W = 32, 96
+    s = make_strip(H, W, band=(10, 21), cols=(8, 40))
+    strips = jnp.asarray(norm(s)[None])
+    widths = jnp.asarray([W], jnp.int32)
+    out, new_w = snap_strips_to_ink(strips, widths)
+    out = np.asarray(out[0])
+    nw = int(new_w[0])
+    # src box: rows [8, 23] (pad 2), cols [5, 43] (pad 3) → height-limited
+    # scale 32/16 = 2.0, new width = 39 * 2 = 78
+    assert nw == 78
+    # ink should now fill most of the height: find dark rows in output
+    dark_rows = (out < 0).sum(axis=1) > 0
+    assert dark_rows[4] and dark_rows[27]  # scaled band ≈ rows 4..27
+    assert not dark_rows[0] and not dark_rows[31]
+    # beyond new width → zero padding
+    if nw < W:
+        assert np.all(out[:, nw:] == 0.0)
+
+
+def test_snap_ignores_neighbor_fragment_at_edge():
+    H, W = 32, 96
+    s = make_strip(H, W, band=(12, 20), cols=(10, 60))
+    s[0:3, :70] = 0  # fragment of the line above, touching the top edge
+    out, new_w = snap_strips_to_ink(
+        jnp.asarray(norm(s)[None]), jnp.asarray([W], jnp.int32))
+    out = np.asarray(out[0])
+    # the center band (rows 12-20), not the fragment, defines the crop —
+    # output must contain ONE contiguous dark band and no top fragment
+    dark_rows = np.where((out < 0).sum(axis=1) > 0)[0]
+    assert dark_rows.size > 0
+    assert np.all(np.diff(dark_rows) == 1)  # contiguous: fragment gone
+    assert (out < 0).sum(axis=0).max() <= dark_rows.size
+
+
+def test_snap_no_ink_passthrough():
+    H, W = 16, 48
+    s = np.full((H, W), 255, np.uint8)
+    strips = jnp.asarray(norm(s)[None])
+    widths = jnp.asarray([W - 10], jnp.int32)
+    out, new_w = snap_strips_to_ink(strips, widths)
+    np.testing.assert_allclose(np.asarray(out[0]), norm(s), atol=1e-6)
+    assert int(new_w[0]) == W - 10
+
+
+def test_snap_batch_mixed():
+    H, W = 32, 64
+    a = make_strip(H, W, band=(4, 27), cols=(2, 50))   # near-tight already
+    b = make_strip(H, W, band=(14, 17), cols=(20, 30)) # tiny centered ink
+    strips = jnp.asarray(np.stack([norm(a), norm(b)]))
+    widths = jnp.asarray([W, W], jnp.int32)
+    out, new_w = snap_strips_to_ink(strips, widths)
+    assert out.shape == (2, H, W)
+    # tiny ink scales up: new width grows relative to ink width
+    assert int(new_w[1]) > 11
+
+
+def test_expand_quads_axis_aligned():
+    q = np.asarray([[[10.0, 20.0], [50.0, 20.0],
+                     [50.0, 30.0], [10.0, 30.0]]], np.float32)
+    e = expand_quads(q, 0.2, 0.1)  # h≈10 → my=2, mx=1
+    np.testing.assert_allclose(e[0, 0], [9.0, 18.0], atol=1e-5)
+    np.testing.assert_allclose(e[0, 2], [51.0, 32.0], atol=1e-5)
+
+
+def test_expand_quads_bounds_clip():
+    q = np.asarray([[[1.0, 1.0], [50.0, 1.0],
+                     [50.0, 11.0], [1.0, 11.0]]], np.float32)
+    e = expand_quads(q, 0.5, 0.5, bounds=np.asarray([52.0, 12.0]))
+    assert e[:, :, 0].min() >= 0 and e[:, :, 1].min() >= 0
+    assert e[:, :, 0].max() <= 52 and e[:, :, 1].max() <= 12
+
+
+def test_expand_quads_rotated_keeps_orientation():
+    # 45°-rotated rect: expansion must follow the quad's own axes
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    R = np.asarray([[c, -s], [s, c]], np.float32)
+    base = np.asarray([[-20, -5], [20, -5], [20, 5], [-20, 5]], np.float32)
+    q = (base @ R.T + 100.0)[None]
+    e = expand_quads(q, 0.2, 0.2)
+    # height grows by 2*0.2*10 = 4 → corner distances grow accordingly
+    d_orig = np.linalg.norm(q[0, 3] - q[0, 0])
+    d_new = np.linalg.norm(e[0, 3] - e[0, 0])
+    assert np.isclose(d_new, d_orig + 4.0, atol=1e-3)
