@@ -129,3 +129,31 @@ def init_sharded_rec_state(config, charset, mesh: Mesh, width: int = 64,
     opt_state = jax.tree.map(
         lambda x: x, tx.init(params))  # inherits param shardings
     return model, tx, params, batch_stats, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Sharded batch inference (C4/C5 serving DP — SURVEY.md §2.2 primary strategy)
+# ---------------------------------------------------------------------------
+
+def make_sharded_fused_ocr_fn(engine, mesh: Mesh, lines_per_page: int = 32,
+                              bucket_width: int = 320):
+    """The fused e2e program (ocrjax.fused) jit'd over the mesh: page batch
+    dp-sharded, model params replicated, packed output dp-sharded. Every
+    page's det→boxes→warp→rec→ctc chain is independent, so GSPMD needs zero
+    collectives until the host gathers the packed payload — throughput
+    scales linearly with dp size.
+
+    Signature matches ocrjax.fused.make_fused_ocr_fn's program:
+    (det_vars, rec_vars, gray_u8 (B,S,S) u8, thr (4,), valid_wh (B,2)) →
+    packed (B, K*(T+12)) float32 (unpack with ocrjax.fused.unpack_fused).
+    B must be divisible by the dp axis size.
+    """
+    from ocrjax import fused as F
+
+    inner = F.make_fused_ocr_fn(
+        engine, lines_per_page, bucket_width).__wrapped__
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(inner,
+                   in_shardings=(rep, rep, bs, rep, bs),
+                   out_shardings=bs)

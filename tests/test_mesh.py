@@ -86,3 +86,44 @@ def test_sharded_train_step_runs_and_matches_single():
         jnp.asarray(label_lengths))
     np.testing.assert_allclose(
         float(loss_sharded), float(loss_single), rtol=1e-4)
+
+
+@requires_8
+def test_sharded_fused_ocr_matches_unsharded():
+    """The fused e2e program dp-sharded over 8 devices returns the same
+    packed payload as the single-device program (pure DP, no collectives)."""
+    import jax.numpy as jnp
+    from ocrjax.api import OcrEngine
+    from ocrjax import fused as F
+    from ocrjax.api_det import _det_state
+    from ocrjax.train import synth
+
+    eng = OcrEngine(config=TINY.replace(fused_lines_per_page=4))
+    cfg = eng.config
+    st = _det_state(eng)
+    m = M.make_mesh(n_dp=8)
+
+    rng = np.random.RandomState(3)
+    B, S = 8, cfg.det_max_side
+    grays = np.zeros((B, S, S), np.uint8)
+    for i in range(B):
+        page, _, _ = synth.render_page(rng, eng.charset, size=(S, S),
+                                       n_lines=(1, 3), text_height=(14, 20),
+                                       max_len=4)
+        grays[i] = page
+    thr = np.asarray([cfg.det_thresh, cfg.det_box_thresh,
+                      cfg.det_unclip_ratio, float(cfg.det_min_box_size)],
+                     np.float32)
+    valid_wh = np.full((B, 2), float(S), np.float32)
+
+    single = F.make_fused_ocr_fn(eng, 4, cfg.rec_width_buckets[-1])
+    ref = np.asarray(single(st.variables, eng.rec_variables,
+                            jnp.asarray(grays), thr, valid_wh))
+
+    sharded = M.make_sharded_fused_ocr_fn(eng, m, 4,
+                                          cfg.rec_width_buckets[-1])
+    got = np.asarray(sharded(st.variables, eng.rec_variables,
+                             M.shard_batch(m, grays), thr,
+                             M.shard_batch(m, valid_wh)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
