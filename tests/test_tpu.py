@@ -40,3 +40,17 @@ def test_extract_boxes_on_tpu():
     prob[30:50, 20:200] = 0.9
     out = extract_boxes(jnp.asarray(prob), max_candidates=16)
     assert int(np.asarray(out["valid"]).sum()) == 1
+
+
+def test_e2e_quality_gate_on_tpu():
+    """Lock in the measured e2e quality level (refined warp + ft weights:
+    0.82-0.86 line exact across seeds; gate leaves headroom for render
+    noise)."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.train.e2e_eval import evaluate_e2e
+
+    eng = OcrEngine.from_pretrained()
+    m = evaluate_e2e(eng, n_pages=8, seed=123)
+    assert m["det_recall"] >= 0.95, m
+    assert m["line_exact_match"] >= 0.75, m
+    assert m["char_error_rate"] <= 0.08, m
