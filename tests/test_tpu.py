@@ -43,14 +43,28 @@ def test_extract_boxes_on_tpu():
 
 
 def test_e2e_quality_gate_on_tpu():
-    """Lock in the measured e2e quality level (refined warp + ft weights:
-    0.82-0.86 line exact across seeds; gate leaves headroom for render
-    noise)."""
+    """Lock in the measured e2e quality level (refined warp + det-crop-mix
+    fine-tuned weights: 0.87-0.89 line exact across seeds; gate leaves
+    headroom for render noise)."""
     from ocrjax.api import OcrEngine
     from ocrjax.train.e2e_eval import evaluate_e2e
 
     eng = OcrEngine.from_pretrained()
     m = evaluate_e2e(eng, n_pages=8, seed=123)
     assert m["det_recall"] >= 0.95, m
-    assert m["line_exact_match"] >= 0.75, m
-    assert m["char_error_rate"] <= 0.08, m
+    assert m["line_exact_match"] >= 0.80, m
+    assert m["char_error_rate"] <= 0.06, m
+
+
+def test_pallas_ccl_parity_on_tpu():
+    import jax.numpy as jnp
+    from ocrjax.ops.pallas.cc_label import label_components_pallas
+    from ocrjax.postprocess.db_boxes import label_components
+
+    bm = np.zeros((256, 256), bool)
+    bm[10:30, 10:100] = True
+    bm[50:60, 5:250] = True
+    bm[100:140, 100:140] = True
+    got = np.asarray(label_components_pallas(jnp.asarray(bm), n_iters=4))
+    want = np.asarray(label_components(jnp.asarray(bm), n_iters=4))
+    np.testing.assert_array_equal(got, want)
