@@ -162,10 +162,10 @@ class OcrEngine:
                   fused: bool = False) -> List[OcrResult]:
         """C4 batched OCR. fused=True runs the single-XLA-program path
         (ocrjax.fused): zero intermediate host syncs, fixed per-page line
-        capacity; greedy decode only."""
-        if fused and not beam:
+        capacity; greedy or on-device beam decode."""
+        if fused:
             from ocrjax import fused as F
-            return F.ocr_pages_fused(self, images)
+            return F.ocr_pages_fused(self, images, beam=beam)
         from ocrjax import api_det
         return api_det.ocr_batch(self, images, beam=beam)
 

@@ -145,7 +145,7 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
-    if not beam and cfg.ocr_single_fused:
+    if cfg.ocr_single_fused:
         img = preprocess.load_image(image)
         if max(img.shape[:2]) <= cfg.det_max_side:
             # Latency path: one XLA program, one upload, one fetch (~2 link
@@ -153,7 +153,7 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
             # for pages that fit the canvas un-downscaled (downscaled pages
             # recognize from full-res original crops, see below).
             from ocrjax import fused as F
-            res = F.ocr_pages_fused(engine, [img])[0]
+            res = F.ocr_pages_fused(engine, [img], beam=beam)[0]
             if len(res.lines) < cfg.fused_lines_per_page:
                 return res
             # every line slot filled → page may hold more lines than the

@@ -30,12 +30,14 @@ from ocrjax.postprocess import db_boxes
 
 def make_fused_ocr_fn(engine, lines_per_page: int = 32,
                       bucket_width: int = 320,
-                      separable_warp: bool = True):
+                      separable_warp: bool = True,
+                      beam: bool = False):
     """Builds the fused jit program closed over both models' variables.
 
     separable_warp: crop/resize via MXU matmuls (9x faster than the gather
     warp; exact for axis-aligned text, AABB-crop for rotated — see
     warp_quads_separable). Set False for exact homography rectification.
+    beam: decode with the on-device prefix beam search instead of greedy.
     """
     cfg = engine.config
     from ocrjax.api_det import _det_state
@@ -113,9 +115,15 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         # ---- recognition + decode -------------------------------------------
         logits, frame_lengths = rec_model.apply(
             rec_vars, strips[..., None], widths)
-        tokens, n_tokens, conf = ctc.ctc_greedy_decode(
-            logits, frame_lengths, blank=cfg.ctc_blank,
-            max_tokens=cfg.rec_max_tokens)
+        if beam:
+            tokens, n_tokens, conf = ctc.ctc_beam_decode(
+                logits, frame_lengths, blank=cfg.ctc_blank,
+                max_tokens=cfg.rec_max_tokens,
+                beam_width=cfg.ctc_beam_width)
+        else:
+            tokens, n_tokens, conf = ctc.ctc_greedy_decode(
+                logits, frame_lengths, blank=cfg.ctc_blank,
+                max_tokens=cfg.rec_max_tokens)
         # Pack every output into ONE (B, K*(T+12)) float32 array: on the
         # remote-TPU link each fetched buffer costs a full RTT (~33 ms
         # measured), so 6 separate outputs would burn ~165 ms per batch.
@@ -157,7 +165,8 @@ def unpack_fused(payload: np.ndarray, K: int, max_tokens: int):
 
 
 def ocr_pages_fused(engine, images, lines_per_page: int = None,
-                    bucket_width: int = 320) -> List["OcrResult"]:
+                    bucket_width: int = 320, beam: bool = False
+                    ) -> List["OcrResult"]:
     """Batched end-to-end through the fused program. Same result contract as
     bucketing.ocr_pages (per-page OcrResult, reading order, original coords).
     """
@@ -173,14 +182,15 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     # thresholds (those are traced args, see make_fused_ocr_fn), so the
     # cache key is the config with thresholds normalized out — threshold
     # sweeps reuse the compiled program, structural changes rebuild it.
-    key = (lines_per_page, bucket_width,
+    key = (lines_per_page, bucket_width, beam,
            cfg.replace(det_thresh=0.0, det_box_thresh=0.0,
                        det_unclip_ratio=0.0, det_min_box_size=0))
     cache = getattr(engine, "_fused_cache", None)
     if cache is None:
         cache = engine._fused_cache = {}
     if key not in cache:
-        cache[key] = make_fused_ocr_fn(engine, lines_per_page, bucket_width)
+        cache[key] = make_fused_ocr_fn(engine, lines_per_page, bucket_width,
+                                       beam=beam)
     fused = cache[key]
     thr = np.asarray([cfg.det_thresh, cfg.det_box_thresh,
                       cfg.det_unclip_ratio, float(cfg.det_min_box_size)],

@@ -127,3 +127,13 @@ def test_c4_fused_matches_bucketed(engine, page):
     assert [l.text for l in fusedr[0].lines] == \
         [l.text for l in bucketed[0].lines]
     assert fusedr[0].text == fusedr[1].text
+
+
+def test_c4_fused_beam_matches_bucketed_beam(engine, page):
+    """Beam decode through the fused program matches the bucketed beam path
+    (same on-device prefix beam search, same geometry)."""
+    img, _, _ = page
+    bucketed = engine.ocr_batch([img], beam=True)
+    fusedr = engine.ocr_batch([img], beam=True, fused=True)
+    assert [l.text for l in fusedr[0].lines] == \
+        [l.text for l in bucketed[0].lines]
