@@ -56,6 +56,10 @@ class OcrLine:
 @dataclasses.dataclass
 class OcrResult:
     lines: List[OcrLine]
+    # True when the fused path's static per-page line capacity was saturated
+    # — the page may hold MORE lines than returned (callers can redo on the
+    # unbounded staged path; api_det.ocr does this automatically)
+    truncated: bool = False
 
     @property
     def text(self) -> str:

@@ -27,8 +27,7 @@ import numpy as np
 from ocrjax import geometry, preprocess
 from ocrjax.models.db import create_db
 from ocrjax.ops import ctc
-from ocrjax.ops.warp import (expand_quads, snap_strips_to_ink, warp_quads,
-                             warp_quads_refined)
+from ocrjax.ops.warp import (expand_quads, warp_quads, warp_quads_refined)
 from ocrjax.postprocess import db_boxes
 
 
@@ -154,10 +153,10 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
             # recognize from full-res original crops, see below).
             from ocrjax import fused as F
             res = F.ocr_pages_fused(engine, [img], beam=beam)[0]
-            if len(res.lines) < cfg.fused_lines_per_page:
+            if not res.truncated:
                 return res
-            # every line slot filled → page may hold more lines than the
-            # fused program's static capacity; redo on the unbounded path
+            # all line slots of the fused program's static capacity were
+            # valid → page may hold more lines; redo on the unbounded path
         image = img
 
     img, canvas, scale, boxes, scores, valid = _detect_canvas(engine, image)
@@ -199,7 +198,8 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
         strips, widths = warp_quads_refined(
             jnp.asarray(gray), jnp.asarray(quads_canvas),
             jnp.asarray([w_img - 1.0, h_img - 1.0], jnp.float32),
-            rec_height=cfg.rec_height, bucket_width=bucket_w)
+            rec_height=cfg.rec_height, bucket_width=bucket_w,
+            ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std)
     else:
         strips, widths = warp_quads(
             jnp.asarray(gray), jnp.asarray(quads_canvas),
@@ -220,15 +220,10 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     return OcrResult(lines=lines)
 
 
-@functools.partial(jax.jit, static_argnames=("engine", "beam", "snap"))
-def _rec_strips_jit(engine, strips, widths, beam: bool = False,
-                    snap: bool = False):
-    """Recognition on already-normalized on-device strips (no u8 roundtrip).
-
-    snap=True re-crops each strip to its ink band first (detector crops
-    carry margin noise — see ops.warp.snap_strips_to_ink)."""
-    if snap:
-        strips, widths = snap_strips_to_ink.__wrapped__(strips, widths)
+@functools.partial(jax.jit, static_argnames=("engine", "beam"))
+def _rec_strips_jit(engine, strips, widths, beam: bool = False):
+    """Recognition on already-normalized on-device strips (no u8 roundtrip;
+    crops should already be ink-refined — see ops.warp two-pass warps)."""
     logits, frame_lengths = engine.rec_model.apply(
         engine.rec_variables, strips[..., None], widths)
     decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
@@ -239,13 +234,12 @@ def _rec_strips_jit(engine, strips, widths, beam: bool = False,
     return decode(logits, frame_lengths, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("engine", "beam", "snap"))
-def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False,
-                           snap: bool = False):
+@functools.partial(jax.jit, static_argnames=("engine", "beam"))
+def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False):
     """_rec_strips_jit with all outputs packed into one (n, T+2) float32
     array so the host fetches a single buffer (one link RTT, not three)."""
     tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
-        engine, strips, widths, beam=beam, snap=snap)
+        engine, strips, widths, beam=beam)
     return jnp.concatenate([
         tokens.astype(jnp.float32),
         n_tokens[:, None].astype(jnp.float32),

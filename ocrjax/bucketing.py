@@ -103,11 +103,11 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     page_ids = np.asarray(page_ids, np.int32)
     quads = np.asarray(quads, np.float32)
     warp_src = quads  # reported boxes stay the detector's, only crops expand
+    # per-quad bounds = that page's valid region (never sample canvas pad)
+    b_all = (valid_hw[page_ids][:, ::-1].astype(np.float32) - 1.0)[:, None, :]
     if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
-        # per-quad bounds = that page's valid region (never sample canvas pad)
-        b = (valid_hw[page_ids][:, ::-1].astype(np.float32) - 1.0)[:, None, :]
         warp_src = expand_quads(
-            quads, cfg.rec_crop_margin, cfg.rec_crop_margin, bounds=b)
+            quads, cfg.rec_crop_margin, cfg.rec_crop_margin, bounds=b_all)
     est_w = _estimate_strip_widths(warp_src, cfg.rec_height)
 
     # normalize the already-uploaded luma canvases on device
@@ -126,12 +126,11 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
         nb = pad_count(n, cfg)
         sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
         if cfg.rec_snap_to_ink:
-            b = (valid_hw[page_ids[sel]][:, ::-1].astype(np.float32)
-                 - 1.0)[:, None, :]
             strips, widths = warp_quads_multi_refined(
                 gray_dev, jnp.asarray(page_ids[sel]),
-                jnp.asarray(warp_src[sel]), jnp.asarray(b),
-                rec_height=cfg.rec_height, bucket_width=bucket_w)
+                jnp.asarray(warp_src[sel]), jnp.asarray(b_all[sel]),
+                rec_height=cfg.rec_height, bucket_width=bucket_w,
+                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std)
         else:
             strips, widths = warp_quads_multi(
                 gray_dev, jnp.asarray(page_ids[sel]),

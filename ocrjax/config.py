@@ -61,10 +61,11 @@ class OcrConfig:
     line_batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
     fused_lines_per_page: int = 32   # static per-page line capacity of the
                                      # fused e2e program (size to workload)
-    ocr_single_fused: bool = True    # route single-page greedy ocr() through
-                                     # the fused program (one dispatch + one
-                                     # fetch); False restores the staged path
-                                     # with exact homography rectification
+    ocr_single_fused: bool = True    # route single-page ocr() (greedy AND
+                                     # beam) through the fused program (one
+                                     # dispatch + one fetch); False restores
+                                     # the staged path with exact homography
+                                     # rectification
     fused_chunk_pages: int = 16      # pages per fused-program call; large
                                      # batches are cut into chunks dispatched
                                      # ahead so upload/compute/download of

@@ -105,7 +105,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             ).reshape(B * K, 1, 2)
             refined = refine(
                 strips_bk.reshape(B * K, H, W), widths_bk.reshape(B * K),
-                warp_src.reshape(B * K, 4, 2), rec_height=H, bounds=flat_b)
+                warp_src.reshape(B * K, 4, 2), rec_height=H, bounds=flat_b,
+                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std)
             strips_bk, widths_bk = warp(
                 gray, refined.reshape(B, K, 4, 2),
                 rec_height=H, bucket_width=W)
@@ -265,5 +266,8 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
             lines.append(OcrLine(
                 box=DetBox(qs[j], float(scores[i, k])),
                 text=text, confidence=float(conf[i, k])))
-        results.append(OcrResult(lines=lines))
+        # saturation flag from the RAW valid count (pre artifact filter):
+        # all K slots valid means the page may hold more lines than K
+        results.append(OcrResult(
+            lines=lines, truncated=bool(valid[i].sum() >= lines_per_page)))
     return results

@@ -473,31 +473,36 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
 def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
-                       bucket_width: int = 320
+                       bucket_width: int = 320, ink_thresh: float = 0.0
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads: probe → ink-band refine → full-res re-warp.
 
     quads should already be EXPANDED (expand_quads) so clipped glyphs fall
     inside the probe. bounds: (2,) or (N, 1, 2) page-valid (max_x, max_y).
+    ink_thresh: normalized value below which a pixel is ink — for a page
+    normalized as (luma/255 - mean)/std that is (0.5 - mean)/std.
     """
     strips, widths = warp_quads(
         page, quads, rec_height=rec_height, bucket_width=bucket_width)
     refined = refine_quads_to_ink(
-        strips, widths, quads, rec_height=rec_height, bounds=bounds)
+        strips, widths, quads, rec_height=rec_height, bounds=bounds,
+        ink_thresh=ink_thresh)
     return warp_quads(
         page, refined, rec_height=rec_height, bucket_width=bucket_width)
 
 
 @functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
 def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
-                             rec_height: int = 32, bucket_width: int = 320
+                             rec_height: int = 32, bucket_width: int = 320,
+                             ink_thresh: float = 0.0
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi (pooled strips from a page batch)."""
     strips, widths = warp_quads_multi(
         pages, page_ids, quads,
         rec_height=rec_height, bucket_width=bucket_width)
     refined = refine_quads_to_ink(
-        strips, widths, quads, rec_height=rec_height, bounds=bounds)
+        strips, widths, quads, rec_height=rec_height, bounds=bounds,
+        ink_thresh=ink_thresh)
     return warp_quads_multi(
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width)
