@@ -174,6 +174,12 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
 
     # host decision: bucket count + strip width bucket (SURVEY.md §2.3 N13)
     quads_canvas = boxes[idx]                                  # (n, 4, 2)
+    # bucket from the TIGHT det-quad aspect + refinement headroom (the ink
+    # refinement rescales the band to full height — see bucketing.ocr_pages)
+    est_w = _estimate_strip_widths(quads_canvas, cfg.rec_height)
+    if cfg.rec_snap_to_ink:
+        est_w = est_w * 1.25
+    bucket_w = cfg.rec_bucket_for_width(int(est_w.max(initial=1)))
     if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
         h_img, w_img = img.shape[:2]
         quads_canvas = expand_quads(
@@ -189,8 +195,6 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
     # gray + normalize the canvas once on device, then batched warp
     gray = preprocess.to_gray(canvas).astype(np.float32)
     gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
-    est_w = _estimate_strip_widths(quads_canvas[:n], cfg.rec_height)
-    bucket_w = cfg.rec_bucket_for_width(int(est_w.max(initial=1)))
     if cfg.rec_snap_to_ink:
         # two-pass: probe warp → ink-band quad refinement → full-res re-warp
         # (ops.warp.refine_quads_to_ink for why not strip-space snapping)

@@ -105,10 +105,17 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     warp_src = quads  # reported boxes stay the detector's, only crops expand
     # per-quad bounds = that page's valid region (never sample canvas pad)
     b_all = (valid_hw[page_ids][:, ::-1].astype(np.float32) - 1.0)[:, None, :]
+    # Width estimate from the TIGHT det quads, with refinement headroom: the
+    # ink refinement rescales the ink band to full strip height, so final
+    # widths can exceed the det-quad aspect by the margin error (~25%).
+    # Estimating from the EXPANDED quads instead systematically
+    # under-buckets and truncates long lines (measured: whole-line garbage).
+    est_w = _estimate_strip_widths(quads, cfg.rec_height)
+    if cfg.rec_snap_to_ink:
+        est_w = est_w * 1.25
     if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
         warp_src = expand_quads(
             quads, cfg.rec_crop_margin, cfg.rec_crop_margin, bounds=b_all)
-    est_w = _estimate_strip_widths(warp_src, cfg.rec_height)
 
     # normalize the already-uploaded luma canvases on device
     gray_dev = _normalize_gray(grays_dev, cfg.rec_mean, cfg.rec_std)
