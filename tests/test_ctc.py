@@ -179,3 +179,34 @@ def test_ctc_loss_grad_finite():
     g = jax.grad(lambda lg: ctc_loss(lg, jnp.array([T, T]), labels,
                                      jnp.array([2, 2])))(logits)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ctc_loss_matches_torch_oracle():
+    """SURVEY.md §4.2: our CTC loss (optax alpha recursion) vs the installed
+    CPU torch's F.ctc_loss on random batches — same per-sequence NLL."""
+    import torch
+    import torch.nn.functional as TF
+
+    from ocrjax.ops.ctc import ctc_loss
+
+    rng = np.random.RandomState(0)
+    B, T, C, U = 4, 17, 9, 6
+    logits = rng.randn(B, T, C).astype(np.float32)
+    logit_lengths = np.asarray([17, 15, 12, 9], np.int32)
+    label_lengths = np.asarray([6, 4, 3, 1], np.int32)
+    labels = np.zeros((B, U), np.int32)
+    for b in range(B):
+        labels[b, : label_lengths[b]] = rng.randint(
+            1, C, size=label_lengths[b])
+
+    ours = float(ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lengths),
+                          jnp.asarray(labels), jnp.asarray(label_lengths)))
+
+    log_probs = TF.log_softmax(
+        torch.from_numpy(logits), dim=-1).transpose(0, 1)  # (T, B, C)
+    want = TF.ctc_loss(
+        log_probs, torch.from_numpy(labels),
+        torch.from_numpy(logit_lengths.astype(np.int64)),
+        torch.from_numpy(label_lengths.astype(np.int64)),
+        blank=0, reduction="none")  # per-seq NLL (not length-normalized)
+    np.testing.assert_allclose(ours, float(want.mean()), rtol=1e-4)
