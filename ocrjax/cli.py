@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--beam", action="store_true")
     sp.add_argument("--tiled", action="store_true")
+    sp.add_argument("--fused", action="store_true",
+                    help="C4 via the single-XLA-program fused path (fixed "
+                         "per-page line capacity, highest throughput)")
 
     sp = sub.add_parser("bench", help="throughput/latency benchmarks")
     common(sp)
@@ -138,8 +141,10 @@ def _main(args) -> int:
     with _profiled(args):
         if args.cmd == "ocr" and len(args.images) > 1 and not args.tiled:
             # C4 pooled path: one batched detection + pooled rec buckets
+            # (--fused: the chunk-pipelined single-program path instead)
             t0 = time.perf_counter()
-            results = engine.ocr_batch(args.images, beam=args.beam)
+            results = engine.ocr_batch(args.images, beam=args.beam,
+                                       fused=args.fused)
             ms = round((time.perf_counter() - t0) * 1e3 / len(results), 1)
             for path, res in zip(args.images, results):
                 out.append({"image": path, "text": res.text, "lines": [

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--finetune", action="store_true",
                     help="warm-start from the shipped assets/rec.safetensors")
+    ap.add_argument("--hidden", type=int, default=160,
+                    help="BiLSTM hidden size of the trained model")
+    ap.add_argument("--channels", default="32,64,128,256",
+                    help="conv channel progression, comma-separated")
     ap.add_argument("--mix-det-crops", type=int, default=0, metavar="PAGES",
                     help="render PAGES pages, run the real detection+refined"
                          "-warp path, and mix the resulting gt-labeled crops "
@@ -46,8 +50,8 @@ def main():
     # (PP-OCR class); this keeps checked-in assets under ~10 MB while leaving
     # the MXU path (bf16 convs + LSTM matmuls) representative.
     config = OcrConfig(
-        rec_hidden=160,
-        rec_conv_channels=(32, 64, 128, 256),
+        rec_hidden=args.hidden,
+        rec_conv_channels=tuple(int(c) for c in args.channels.split(",")),
     )
     charset = default_charset()
 
