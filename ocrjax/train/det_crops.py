@@ -30,11 +30,15 @@ class DetCropSet:
 
 def generate_det_crops(engine, n_pages: int = 256, seed: int = 17,
                        width: int = 192, chunk: int = 16,
-                       page_size: int = None) -> DetCropSet:
+                       page_size: int = None,
+                       max_rotation: float = 0.0) -> DetCropSet:
     """Render pages → detect → refined warp → (strip, gt text) pairs.
 
     Crops whose strip width hits the bucket cap are dropped (their text
     would be truncated and the CTC label would not fit the frames).
+    max_rotation: per-line rotation range (degrees) for the rendered pages —
+    crops are rectified by the homography warp, so this trains the
+    recognizer on rectification artifacts (resampling, angle noise).
     """
     from ocrjax.api_det import _det_state, unpack_det
     from ocrjax.ops.warp import expand_quads, warp_quads_multi_refined
@@ -51,7 +55,8 @@ def generate_det_crops(engine, n_pages: int = 256, seed: int = 17,
         gt = []
         for i in range(B):
             page, quads, texts = synth.render_page(
-                rng, engine.charset, size=(S, S))
+                rng, engine.charset, size=(S, S),
+                max_rotation=max_rotation)
             grays[i] = page
             gt.append((quads, texts))
 

@@ -31,7 +31,12 @@ def _rect_of_quad(quad: np.ndarray) -> Tuple[float, float, float, float]:
 
 def db_gt_maps(quads: List[np.ndarray], shape: Tuple[int, int]
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (gt_shrink, gt_thresh, thresh_mask), each (H, W) float32."""
+    """→ (gt_shrink, gt_thresh, thresh_mask), each (H, W) float32.
+
+    Quads may be ROTATED rects (synth.render_page with max_rotation > 0):
+    all distances are computed in each quad's own (u, v) frame, which is
+    exact for rects at any angle and reduces to the axis-aligned math at 0°.
+    """
     H, W = shape
     gt_shrink = np.zeros((H, W), np.float32)
     gt_thresh = np.zeros((H, W), np.float32)
@@ -39,34 +44,42 @@ def db_gt_maps(quads: List[np.ndarray], shape: Tuple[int, int]
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
 
     for quad in quads:
-        x0, y0, x1, y1 = _rect_of_quad(quad)
-        w, h = x1 - x0, y1 - y0
+        c = quad.mean(axis=0)
+        ex = quad[1] - quad[0]
+        w = float(np.hypot(*ex))
+        ey = quad[3] - quad[0]
+        h = float(np.hypot(*ey))
         if w <= 2 or h <= 2:
             continue
+        ex, ey = ex / w, ey / h
+        hw, hh = w / 2.0, h / 2.0
         area, perim = w * h, 2 * (w + h)
         delta = area * (1 - SHRINK_RATIO ** 2) / perim
 
-        # shrunk positive region
-        sx0, sy0 = x0 + delta, y0 + delta
-        sx1, sy1 = x1 - delta, y1 - delta
-        if sx1 > sx0 and sy1 > sy0:
-            gt_shrink[int(np.ceil(sy0)):int(sy1) + 1,
-                      int(np.ceil(sx0)):int(sx1) + 1] = 1.0
-
-        # border band: |signed distance to rect| <= delta
-        bx0, by0 = max(0, int(x0 - delta) - 1), max(0, int(y0 - delta) - 1)
+        # window: AABB of the quad grown by the band width
+        x0, y0, x1, y1 = _rect_of_quad(quad)
+        bx0 = max(0, int(x0 - delta) - 1)
+        by0 = max(0, int(y0 - delta) - 1)
         bx1 = min(W, int(np.ceil(x1 + delta)) + 2)
         by1 = min(H, int(np.ceil(y1 + delta)) + 2)
         if bx1 <= bx0 or by1 <= by0:
             continue
-        px = xs[by0:by1, bx0:bx1]
-        py = ys[by0:by1, bx0:bx1]
-        # signed distance to the rect boundary (negative inside)
-        dx = np.maximum(np.maximum(x0 - px, px - x1), 0)
-        dy = np.maximum(np.maximum(y0 - py, py - y1), 0)
-        outside = np.hypot(dx, dy)
-        inside = np.minimum(np.minimum(px - x0, x1 - px),
-                            np.minimum(py - y0, y1 - py))
+        px = xs[by0:by1, bx0:bx1] - c[0]
+        py = ys[by0:by1, bx0:bx1] - c[1]
+        u = np.abs(px * ex[0] + py * ex[1])   # |local coords|
+        v = np.abs(px * ey[0] + py * ey[1])
+
+        # shrunk positive region
+        if hw > delta and hh > delta:
+            region_s = gt_shrink[by0:by1, bx0:bx1]
+            np.maximum(region_s, ((u <= hw - delta) & (v <= hh - delta))
+                       .astype(np.float32), out=region_s)
+
+        # border band: |signed distance to rect| <= delta
+        du = np.maximum(u - hw, 0)
+        dv = np.maximum(v - hh, 0)
+        outside = np.hypot(du, dv)
+        inside = np.minimum(hw - u, hh - v)
         sdist = np.where(outside > 0, outside, -np.clip(inside, 0, None))
         band = np.abs(sdist) <= delta
         # 1 at the edge → 0 at band rim, scaled into [min, max]

@@ -165,12 +165,17 @@ def render_page(
     text_height: Tuple[int, int] = (18, 42),
     max_len: int = 14,
     noise: float = 0.01,
+    max_rotation: float = 0.0,
 ) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
     """A page image with non-overlapping text lines at random positions.
 
     Returns (page uint8 (H, W), quads [(4,2) float32 clockwise from TL],
-    texts). Quads are the tight ink bounding boxes.
+    texts). Quads are the tight ink bounding boxes. max_rotation > 0 rotates
+    each line by a uniform angle in ±max_rotation degrees (quads follow —
+    rotated rects, TL = the rendered strip's top-left corner).
     """
+    import cv2
+
     H, W = size
     page = np.full((H, W), 255, np.uint8)
     quads, texts = [], []
@@ -183,6 +188,21 @@ def render_page(
             strip = render_line(text, th, FONTS[rng.randint(len(FONTS))],
                                 rng, noise, pad=2)
             sh, sw = strip.shape
+            corners = np.array([[0, 0], [sw, 0], [sw, sh], [0, sh]],
+                               np.float32)
+            angle = (rng.uniform(-max_rotation, max_rotation)
+                     if max_rotation > 0 else 0.0)
+            if abs(angle) > 0.05:
+                M = cv2.getRotationMatrix2D((sw / 2.0, sh / 2.0), angle, 1.0)
+                rot = corners @ M[:, :2].T + M[:, 2]
+                shift = rot.min(axis=0)
+                M[:, 2] -= shift
+                corners = rot - shift
+                ext = corners.max(axis=0)
+                sw, sh = int(np.ceil(ext[0])), int(np.ceil(ext[1]))
+                strip = cv2.warpAffine(
+                    strip, M, (sw, sh), flags=cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=255)
             if sw >= W - 4 or sh >= H - 4:
                 continue
             x = rng.randint(2, W - sw - 2)
@@ -195,9 +215,7 @@ def render_page(
             page[y:y + sh, x:x + sw] = np.minimum(
                 page[y:y + sh, x:x + sw], strip)
             occupied[y0:y1, x0:x1] = True
-            quads.append(np.array(
-                [[x, y], [x + sw, y], [x + sw, y + sh], [x, y + sh]],
-                np.float32))
+            quads.append(corners + np.array([x, y], np.float32))
             texts.append(text)
             break
     return page, quads, texts
