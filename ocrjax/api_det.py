@@ -203,11 +203,15 @@ def ocr(engine, image, beam: bool = False) -> "OcrResult":
             jnp.asarray(gray), jnp.asarray(quads_canvas),
             jnp.asarray([w_img - 1.0, h_img - 1.0], jnp.float32),
             rec_height=cfg.rec_height, bucket_width=bucket_w,
-            ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std)
+            ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
+            margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
+            x_margin_keep=cfg.rec_ink_x_margin_keep,
+            pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
     else:
         strips, widths = warp_quads(
             jnp.asarray(gray), jnp.asarray(quads_canvas),
-            rec_height=cfg.rec_height, bucket_width=bucket_w)
+            rec_height=cfg.rec_height, bucket_width=bucket_w,
+            pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
 
     tokens, n_tokens, conf = _rec_strips_jit(
         engine, strips, widths, beam=beam)
@@ -260,13 +264,21 @@ def unpack_rec(packed: np.ndarray, max_tokens: int):
 
 
 def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
-                   ink_thresh: int = 128, min_count: int = 2):
+                   ink_thresh: int = 128, min_count: int = 2,
+                   margin_px: float = 0.0, x_margin_keep: float = 1.0):
     """Host mirror of ops.warp.ink_boxes for full-res original-image crops:
     tighten an (expanded) crop window to the ink band through its vertical
     center, with pads matching the on-device refinement (~2-3 px at the
-    32-px strip scale)."""
+    32-px strip scale). margin_px/x_margin_keep mirror the device refine's
+    x-window: columns deeper than keep·margin into the expansion margin
+    cannot count as ink (side-neighbor rejection)."""
     crop = gray[y0:y1, x0:x1]
     ink = crop < ink_thresh
+    slack = int(round(margin_px * (1.0 - x_margin_keep)))
+    if slack > 0 and crop.shape[1] > 2 * slack:
+        ink = ink.copy()
+        ink[:, :slack] = False
+        ink[:, crop.shape[1] - slack:] = False
     rows = ink.sum(axis=1) >= min_count
     if not rows.any():
         return crop
@@ -312,8 +324,10 @@ def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False):
         if x1 - x0 < 2 or y1 - y0 < 2:
             continue
         quads_orig.append(q)
-        strips.append(_ink_crop_host(gray, x0, y0, x1, y1)
-                      if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
+        strips.append(_ink_crop_host(
+            gray, x0, y0, x1, y1, margin_px=margin,
+            x_margin_keep=cfg.rec_ink_x_margin_keep)
+            if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))
     if not strips:
         return OcrResult(lines=[])

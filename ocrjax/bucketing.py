@@ -137,12 +137,16 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
                 gray_dev, jnp.asarray(page_ids[sel]),
                 jnp.asarray(warp_src[sel]), jnp.asarray(b_all[sel]),
                 rec_height=cfg.rec_height, bucket_width=bucket_w,
-                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std)
+                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
+                margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
+                x_margin_keep=cfg.rec_ink_x_margin_keep,
+                pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
         else:
             strips, widths = warp_quads_multi(
                 gray_dev, jnp.asarray(page_ids[sel]),
                 jnp.asarray(warp_src[sel]),
-                rec_height=cfg.rec_height, bucket_width=bucket_w)
+                rec_height=cfg.rec_height, bucket_width=bucket_w,
+                pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
         out = _rec_strips_packed_jit(engine, strips, widths, beam=beam)
         pending.append((idx, out))
     for _, out in pending:

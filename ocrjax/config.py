@@ -51,6 +51,11 @@ class OcrConfig:
     rec_crop_margin: float = 0.15    # pre-snap quad expansion, fraction of
                                      # line height on every side (recovers
                                      # glyphs the detector's box clipped)
+    rec_ink_x_margin_keep: float = 0.5  # fraction of the x expansion margin
+                                     # the ink-band refine may absorb: <1
+                                     # rejects side-neighbor ink leaking in
+                                     # as phantom edge characters while
+                                     # still recovering clipped slivers
     rec_hidden: int = 256            # BiLSTM hidden size
     rec_conv_channels: Tuple[int, ...] = (64, 128, 256, 512)
     ctc_blank: int = 0               # blank id (charset ids start at 1)

@@ -84,6 +84,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         # ---- grouped batched warp off the normalized gray canvases ---------
         gray = (gray_u8.astype(jnp.float32) / 255.0
                 - cfg.rec_mean) / cfg.rec_std                   # (B, S, S)
+        # recognition strips pad like the training data: u8 zero = black
+        pad_v = (0.0 - cfg.rec_mean) / cfg.rec_std
         warp = warp_quads_separable if separable_warp else warp_quads_grouped
         warp_src = quads
         if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
@@ -91,7 +93,7 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
                 quads, cfg.rec_crop_margin, cfg.rec_crop_margin,
                 bounds=(valid_wh - 1.0)[:, None, None, :])
         strips_bk, widths_bk = warp(
-            gray, warp_src, rec_height=H, bucket_width=W)
+            gray, warp_src, rec_height=H, bucket_width=W, pad_value=pad_v)
         if cfg.rec_snap_to_ink:
             # two-pass: the probe strips above locate each line's ink band;
             # re-warp the refined boxes from the full-res canvas (see
@@ -106,10 +108,12 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             refined = refine(
                 strips_bk.reshape(B * K, H, W), widths_bk.reshape(B * K),
                 warp_src.reshape(B * K, 4, 2), rec_height=H, bounds=flat_b,
-                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std)
+                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
+                margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
+                x_margin_keep=cfg.rec_ink_x_margin_keep)
             strips_bk, widths_bk = warp(
                 gray, refined.reshape(B, K, 4, 2),
-                rec_height=H, bucket_width=W)
+                rec_height=H, bucket_width=W, pad_value=pad_v)
         strips = strips_bk.reshape(B * K, H, W)
         widths = widths_bk.reshape(B * K)
 

@@ -119,13 +119,18 @@ def warp_quads(
     *,
     rec_height: int = 32,
     bucket_width: int = 320,
+    pad_value: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Crop+rectify all quads from a page in one batched gather.
 
     page: (H, W) float32 (already normalized grayscale).
     quads: (N, 4, 2) float32 page coords, TL,TR,BR,BL.
-    Returns (strips (N, rec_height, bucket_width) float32 — zero beyond each
-    strip's width; widths (N,) int32).
+    Returns (strips (N, rec_height, bucket_width) float32 — pad_value
+    beyond each strip's width; widths (N,) int32). The recognizer is trained
+    on u8-zero (black) padded strips, so recognition callers must pass
+    pad_value=(0 - rec_mean)/rec_std; the 0.0 default (mid-gray) is
+    out-of-distribution for the backward LSTM and hallucinates edge
+    characters (measured: trailing '|').
     """
     N = quads.shape[0]
     widths = quad_strip_widths(quads, rec_height, bucket_width)
@@ -146,7 +151,7 @@ def warp_quads(
         samp = _bilinear_sample(page, x, y)
         mask = (jax.lax.broadcasted_iota(
             jnp.int32, samp.shape, 1) < w)
-        return jnp.where(mask, samp, 0.0)
+        return jnp.where(mask, samp, pad_value)
 
     strips = jax.vmap(one)(Hs, widths)
     return strips, widths
@@ -160,6 +165,7 @@ def warp_quads_multi(
     *,
     rec_height: int = 32,
     bucket_width: int = 320,
+    pad_value: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pooled multi-page variant (C4): quads may come from different pages.
 
@@ -185,7 +191,7 @@ def warp_quads_multi(
         samp = _bilinear_sample(page, s[..., 0] / denom, s[..., 1] / denom)
         mask = (jax.lax.broadcasted_iota(
             jnp.int32, samp.shape, 1) < w)
-        return jnp.where(mask, samp, 0.0)
+        return jnp.where(mask, samp, pad_value)
 
     strips = jax.vmap(one)(Hs, widths, page_ids.astype(jnp.int32))
     return strips, widths
@@ -198,6 +204,7 @@ def warp_quads_grouped(
     *,
     rec_height: int = 32,
     bucket_width: int = 320,
+    pad_value: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped variant: quads come pre-grouped per page (B, K, 4, 2).
 
@@ -223,7 +230,7 @@ def warp_quads_grouped(
         denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
         samp = _bilinear_sample(page, s[..., 0] / denom, s[..., 1] / denom)
         mask = jax.lax.broadcasted_iota(jnp.int32, samp.shape, 1) < w
-        return jnp.where(mask, samp, 0.0)
+        return jnp.where(mask, samp, pad_value)
 
     strips = jax.vmap(  # over pages
         lambda page, Hs_k, w_k: jax.vmap(
@@ -239,6 +246,7 @@ def warp_quads_separable(
     *,
     rec_height: int = 32,
     bucket_width: int = 320,
+    pad_value: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Separable (MXU) crop+resize of each quad's axis-aligned hull.
 
@@ -276,7 +284,7 @@ def warp_quads_separable(
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - src))    # (W, S)
             out = (wy @ page) @ wx.T                          # (Hh, W)
             mask = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < w
-            return jnp.where(mask, out, 0.0)
+            return jnp.where(mask, out, pad_value)
         return jax.vmap(one)(a, b, c, d, wk)
 
     strips = jax.vmap(per_page)(pages, x0, x1, y0, y1, widths)
@@ -321,17 +329,26 @@ def expand_quads(quads, frac_y: float, frac_x: float, bounds=None):
 
 def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
               *, ink_thresh: float = 0.0, min_count: int = 2,
-              pad_y: float = 2.0, pad_x: float = 3.0):
+              pad_y: float = 2.0, pad_x: float = 3.0,
+              x_lo=None, x_hi=None):
     """Per-strip padded bbox of the ink band containing the vertical center.
 
     The contiguous-run-through-center rule rejects fragments of NEIGHBORING
     lines that an expanded crop pulls in at the strip's top/bottom edge.
-    Returns (x0, y0, x1, y1, ok) — float strip coords (may poke outside the
-    strip by the pads; samplers clamp), ok=False where no ink was found.
+    x_lo/x_hi (optional, (N,) float strip coords) bound the columns that may
+    count as ink — the horizontal mirror of that rule: a side-neighbor's
+    glyph edge inside the expansion margin would otherwise stretch the band
+    (and decode as a phantom '|'-class character). Returns (x0, y0, x1, y1,
+    ok) — float strip coords (may poke outside the strip by the pads;
+    samplers clamp), ok=False where no ink was found.
     """
     N, H, W = strips.shape
-    col_in = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1) \
-        < widths[:, None]
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
+    col_in = col_idx < widths[:, None]
+    if x_lo is not None:
+        col_in &= col_idx.astype(jnp.float32) >= x_lo[:, None]
+    if x_hi is not None:
+        col_in &= col_idx.astype(jnp.float32) <= x_hi[:, None]
     ink = (strips < ink_thresh) & col_in[:, None, :]          # (N, H, W)
 
     # --- row band: contiguous ink-row run containing the center row -------
@@ -363,11 +380,22 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     return x0 - pad_x, y0 - pad_y, x1 + pad_x, y1 + pad_y, ok
 
 
+def _ink_x_window(widths, m_strip, keep: float):
+    """Allowed ink-column window for the refines: the unexpanded det box
+    starts m_strip strip-px in from each side; ink may extend keep·m_strip
+    beyond it. keep=1 admits the whole expansion margin (neighbor-leak
+    prone); keep≈0.5 still recovers clipped glyph slivers while rejecting
+    side-neighbor ink (calibrated in tests/test_tpu e2e gates)."""
+    slack = m_strip * (1.0 - keep)
+    return slack, widths.astype(jnp.float32) - 1.0 - slack
+
+
 def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                         quads: jnp.ndarray, *, rec_height: int,
                         ink_thresh: float = 0.0, min_count: int = 2,
                         pad_y: float = 2.0, pad_x: float = 3.0,
-                        bounds=None) -> jnp.ndarray:
+                        bounds=None, margin_fracs=None,
+                        x_margin_keep: float = 1.0) -> jnp.ndarray:
     """Two-pass warp refinement, homography variant (warp_quads/_multi).
 
     Pass 1 warps an EXPANDED detection quad (see expand_quads) into a probe
@@ -377,13 +405,25 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     upscales pixels the loose pass-1 crop already blurred (measured: strip-
     space snap cost 0.2 line-exact e2e; two-pass refine is lossless).
 
-    strips/widths: pass-1 output for `quads`. Returns refined quads; strips
-    with no detectable ink keep their original quad.
+    strips/widths: pass-1 output for `quads`. margin_fracs: the (frac_y,
+    frac_x) the quads were expanded by — with x_margin_keep < 1 this bounds
+    how far the ink band may reach into the expansion margin (see
+    _ink_x_window). Returns refined quads; strips with no detectable ink
+    keep their original quad.
     """
     N, H, W = strips.shape
+    x_lo = x_hi = None
+    if margin_fracs is not None and x_margin_keep < 1.0:
+        fy, fx = margin_fracs
+        w_exp = jnp.sqrt(jnp.sum((quads[:, 1] - quads[:, 0]) ** 2, -1))
+        h_exp = jnp.sqrt(jnp.sum((quads[:, 3] - quads[:, 0]) ** 2, -1))
+        h_orig = h_exp / (1.0 + 2.0 * fy)
+        m_strip = fx * h_orig * (widths.astype(jnp.float32) - 1.0) \
+            / jnp.maximum(w_exp, 1.0)
+        x_lo, x_hi = _ink_x_window(widths, m_strip, x_margin_keep)
     x0, y0, x1, y1, ok = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
-        pad_y=pad_y, pad_x=pad_x)
+        pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi)
     heights = jnp.full((N,), rec_height, jnp.int32)
     Hs = solve_homographies(quads, heights, widths)           # strip→page
     us = jnp.stack([x0, x1, x1, x0], axis=1)                  # (N, 4)
@@ -403,19 +443,27 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                        quads: jnp.ndarray, *, rec_height: int,
                        ink_thresh: float = 0.0, min_count: int = 2,
                        pad_y: float = 2.0, pad_x: float = 3.0,
-                       bounds=None) -> jnp.ndarray:
+                       bounds=None, margin_fracs=None,
+                       x_margin_keep: float = 1.0) -> jnp.ndarray:
     """Two-pass refinement, AABB variant (matches warp_quads_separable's
-    linear strip↔page mapping). quads (N, 4, 2) → refined RECT quads."""
+    linear strip↔page mapping). quads (N, 4, 2) → refined RECT quads.
+    margin_fracs/x_margin_keep: see refine_quads_to_ink."""
     N, H, W = strips.shape
-    xs0, ys0, xs1, ys1, ok = ink_boxes(
-        strips, widths, ink_thresh=ink_thresh, min_count=min_count,
-        pad_y=pad_y, pad_x=pad_x)
     xa = quads[..., 0].min(axis=-1)
     xb = quads[..., 0].max(axis=-1)
     ya = quads[..., 1].min(axis=-1)
     yb = quads[..., 1].max(axis=-1)
     sy = (yb - ya) / (rec_height - 1.0)
     sx = (xb - xa) / jnp.maximum(widths.astype(jnp.float32) - 1.0, 1.0)
+    x_lo = x_hi = None
+    if margin_fracs is not None and x_margin_keep < 1.0:
+        fy, fx = margin_fracs
+        h_orig = (yb - ya) / (1.0 + 2.0 * fy)
+        m_strip = fx * h_orig / jnp.maximum(sx, 1e-6)
+        x_lo, x_hi = _ink_x_window(widths, m_strip, x_margin_keep)
+    xs0, ys0, xs1, ys1, ok = ink_boxes(
+        strips, widths, ink_thresh=ink_thresh, min_count=min_count,
+        pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi)
     ya2 = ya + ys0 * sy
     yb2 = ya + ys1 * sy
     xa2 = xa + xs0 * sx
@@ -471,9 +519,12 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     return jax.vmap(one)(strips, ox, oy, new_w, new_h, ok, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
+@functools.partial(jax.jit, static_argnames=(
+    "rec_height", "bucket_width", "margin_fracs", "x_margin_keep"))
 def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
-                       bucket_width: int = 320, ink_thresh: float = 0.0
+                       bucket_width: int = 320, ink_thresh: float = 0.0,
+                       margin_fracs=None, x_margin_keep: float = 1.0,
+                       pad_value: float = 0.0
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads: probe → ink-band refine → full-res re-warp.
 
@@ -481,28 +532,38 @@ def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
     inside the probe. bounds: (2,) or (N, 1, 2) page-valid (max_x, max_y).
     ink_thresh: normalized value below which a pixel is ink — for a page
     normalized as (luma/255 - mean)/std that is (0.5 - mean)/std.
+    margin_fracs/x_margin_keep: see refine_quads_to_ink.
     """
     strips, widths = warp_quads(
-        page, quads, rec_height=rec_height, bucket_width=bucket_width)
+        page, quads, rec_height=rec_height, bucket_width=bucket_width,
+        pad_value=pad_value)
     refined = refine_quads_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
-        ink_thresh=ink_thresh)
+        ink_thresh=ink_thresh, margin_fracs=margin_fracs,
+        x_margin_keep=x_margin_keep)
     return warp_quads(
-        page, refined, rec_height=rec_height, bucket_width=bucket_width)
+        page, refined, rec_height=rec_height, bucket_width=bucket_width,
+        pad_value=pad_value)
 
 
-@functools.partial(jax.jit, static_argnames=("rec_height", "bucket_width"))
+@functools.partial(jax.jit, static_argnames=(
+    "rec_height", "bucket_width", "margin_fracs", "x_margin_keep"))
 def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
                              rec_height: int = 32, bucket_width: int = 320,
-                             ink_thresh: float = 0.0
+                             ink_thresh: float = 0.0,
+                             margin_fracs=None, x_margin_keep: float = 1.0,
+                             pad_value: float = 0.0
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi (pooled strips from a page batch)."""
     strips, widths = warp_quads_multi(
         pages, page_ids, quads,
-        rec_height=rec_height, bucket_width=bucket_width)
+        rec_height=rec_height, bucket_width=bucket_width,
+        pad_value=pad_value)
     refined = refine_quads_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
-        ink_thresh=ink_thresh)
+        ink_thresh=ink_thresh, margin_fracs=margin_fracs,
+        x_margin_keep=x_margin_keep)
     return warp_quads_multi(
         pages, page_ids, refined,
-        rec_height=rec_height, bucket_width=bucket_width)
+        rec_height=rec_height, bucket_width=bucket_width,
+        pad_value=pad_value)

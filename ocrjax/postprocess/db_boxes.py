@@ -99,6 +99,8 @@ def extract_boxes(
     min_box_size: float = 3,
     cc_iters: int = 4,
     cc_downsample: int = 1,
+    angle_aniso_floor: float = 0.30,
+    angle_flip_below: float = 0.75,
 ) -> Dict[str, jnp.ndarray]:
     """Single prob map (H, W) float → C fixed candidate boxes.
 
@@ -187,6 +189,41 @@ def extract_boxes(
     cyy = syy / n - my * my
     cxy = sxy / n - mx * my
     theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)           # PCA major axis
+
+    # ---- angle robustness for short lines ----------------------------------
+    # The PCA axis of a near-square component (1-2 glyph lines) is noise: the
+    # eigenvalue gap vanishes, so the "major" direction — and with it the
+    # rectifying warp — can land 45-90° off (measured: 2-char rotated lines
+    # decode as garbage while 3+-char neighbors are exact). Text direction is
+    # a PAGE property though, so borrow it: anisotropy = (λ1−λ2)/(λ1+λ2)
+    # says how trustworthy each component's own axis is, and the
+    # count-weighted circular mean (in 2θ, axes are π-periodic) over the
+    # trustworthy components gives the page angle.
+    #   aniso ≥ flip_below: keep own axis (long lines; exact to <1°);
+    #   floor ≤ aniso < flip_below: own axis, but flipped 90° if that lands
+    #     closer to the page angle (PCA may pick the cross axis);
+    #   aniso < floor: page angle outright.
+    # With no trustworthy component on the page, atan2(0,0) = 0 falls back
+    # to horizontal. score is needed early here; it only depends on moments.
+    score = sp / n
+    lam_gap = jnp.sqrt((cxx - cyy) ** 2 + 4.0 * cxy * cxy)
+    aniso = lam_gap / jnp.maximum(cxx + cyy, 1e-6)
+    w_page = jnp.where(
+        has_comp & (score >= box_thresh) & (aniso >= angle_flip_below),
+        cnt, 0.0)
+    theta_page = 0.5 * jnp.arctan2(jnp.sum(w_page * jnp.sin(2.0 * theta)),
+                                   jnp.sum(w_page * jnp.cos(2.0 * theta)))
+    half_pi = jnp.float32(jnp.pi / 2.0)
+
+    def _wrap_half(a):  # wrap axis-angle difference to [-π/2, π/2)
+        return jnp.mod(a + half_pi, 2.0 * half_pi) - half_pi
+
+    d_own = _wrap_half(theta - theta_page)
+    d_flip = _wrap_half(theta + half_pi - theta_page)
+    theta_r = jnp.where(
+        (aniso < angle_flip_below) & (jnp.abs(d_flip) < jnp.abs(d_own)),
+        theta + half_pi, theta)
+    theta = jnp.where(aniso < angle_aniso_floor, theta_page, theta_r)
     ct, st = jnp.cos(theta), jnp.sin(theta)
 
     # ---- extents along each component's axis (fused broadcast reduce) -----
@@ -208,7 +245,6 @@ def extract_boxes(
     # ---- filters (pre-unclip, like DB's sside check) ----------------------
     bw = jnp.where(has_comp, umax - umin + 1.0, 0.0)
     bh = jnp.where(has_comp, vmax - vmin + 1.0, 0.0)
-    score = sp / n
     valid = has_comp & (cnt > 0) & (score >= box_thresh) \
         & (jnp.minimum(bw, bh) >= min_box_size)
 

@@ -91,7 +91,11 @@ def generate_det_crops(engine, n_pages: int = 256, seed: int = 17,
         strips, ws = warp_quads_multi_refined(
             jnp.asarray(g), jnp.asarray(page_ids, np.int32),
             jnp.asarray(qe), jnp.asarray(b),
-            rec_height=cfg.rec_height, bucket_width=width)
+            rec_height=cfg.rec_height, bucket_width=width,
+            ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
+            margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
+            x_margin_keep=cfg.rec_ink_x_margin_keep,
+            pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
         strips = np.asarray(strips)
         ws = np.asarray(ws)
         # normalized float → the trainer's u8 convention (0 beyond width,
