@@ -91,13 +91,18 @@ def train_rec(
     init_variables=None,
     det_crops=None,
     det_crop_frac: float = 0.5,
+    p_space: float = 0.0,
+    aug_rotation: float = 0.0,
 ) -> TrainResult:
     """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
     shipped assets — must match the model built from `config`/`charset`.
 
     det_crops: optional train.det_crops.DetCropSet — real detector crops
     with gt labels; each step draws its batch from them with probability
-    det_crop_frac (serving-distribution training, see det_crops module)."""
+    det_crop_frac (serving-distribution training, see det_crops module).
+    p_space/aug_rotation: synthetic-batch augmentation (see
+    synth.make_line_batch); the final eval batches stay clean so the
+    reported exact-match remains comparable across runs."""
     config = config or OcrConfig()
     charset = charset or default_charset()
     model = create_crnn(config, charset.num_classes)
@@ -135,7 +140,7 @@ def train_rec(
         else:
             lb = synth.make_line_batch(
                 rng, charset, batch_size, width, config.rec_height,
-                max_len=max_len)
+                max_len=max_len, p_space=p_space, max_rotation=aug_rotation)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state,
             jnp.asarray(lb.images), jnp.asarray(lb.widths),

@@ -59,13 +59,24 @@ def render_line(
 
 
 def random_text(rng: np.random.RandomState, charset: Charset,
-                min_len: int = 1, max_len: int = 12) -> str:
+                min_len: int = 1, max_len: int = 12,
+                p_space: float = 0.0) -> str:
+    """Uniform random text. p_space > 0 makes each position a space with
+    that probability (uniform charset otherwise): real text is ~15% spaces
+    but a uniform draw over the 95-char set renders them 1%, leaving the
+    recognizer space-blind under distortion (measured: e2e space drops on
+    rotated pages)."""
     n = rng.randint(min_len, max_len + 1)
     chars = charset.chars
     idx = rng.randint(0, len(chars), size=n)
     text = "".join(chars[i] for i in idx)
-    # leading/trailing spaces are invisible to rendering -> unlearnable
-    return text.strip() or chars[rng.randint(0, len(chars))]
+    if p_space > 0 and " " in charset._char_to_id:
+        mask = rng.rand(n) < p_space
+        text = "".join(" " if m else c for c, m in zip(text, mask))
+    # leading/trailing spaces are invisible to rendering -> unlearnable;
+    # collapse runs (a double space renders identically to wide tracking)
+    text = " ".join(text.split())
+    return text or chars[rng.randint(0, len(chars))]
 
 
 @dataclasses.dataclass
@@ -88,8 +99,16 @@ def make_line_batch(
     max_len: int = 12,
     noise: float = 0.02,
     fonts: Sequence[str] = FONTS,
+    p_space: float = 0.0,
+    max_rotation: float = 0.0,
 ) -> LineBatch:
-    """Random rendered lines padded to a fixed (batch, height, width)."""
+    """Random rendered lines padded to a fixed (batch, height, width).
+
+    p_space: see random_text. max_rotation > 0 rotates half the strips by a
+    uniform angle in ±max_rotation degrees (white background fill) BEFORE
+    margin jitter — the residual-rotation distribution the recognizer sees
+    behind the separable (AABB-crop) warp and behind imperfect angle
+    estimates on short lines."""
     images = np.zeros((batch_size, height, width), np.uint8)
     widths = np.zeros((batch_size,), np.int32)
     labels = np.zeros((batch_size, max_label), np.int32)
@@ -97,7 +116,8 @@ def make_line_batch(
     texts = []
     for b in range(batch_size):
         while True:
-            text = random_text(rng, charset, min_len, max_len)
+            text = random_text(rng, charset, min_len, max_len,
+                               p_space=p_space)
             # scale augmentation: render at a random native height and
             # resize to the model height, so inference is robust to
             # upscaled/downscaled inputs (rec_resize does the same at
@@ -107,6 +127,20 @@ def make_line_batch(
                         else int(rng.randint(height * 2 // 3, height * 2)))
             strip = render_line(
                 text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
+            if max_rotation > 0 and rng.rand() < 0.5:
+                import cv2
+                ang = rng.uniform(-max_rotation, max_rotation)
+                sh, sw = strip.shape
+                M = cv2.getRotationMatrix2D((sw / 2.0, sh / 2.0), ang, 1.0)
+                cs = np.array([[0, 0], [sw, 0], [sw, sh], [0, sh]],
+                              np.float32) @ M[:, :2].T + M[:, 2]
+                M[:, 2] -= cs.min(axis=0)
+                ext = cs.max(axis=0) - cs.min(axis=0)
+                strip = cv2.warpAffine(
+                    strip, M, (int(np.ceil(ext[0])), int(np.ceil(ext[1]))),
+                    flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+                    borderValue=255)
+                render_h = strip.shape[0]
             # margin/crop jitter: WIDE tolerance wins end-to-end. Serving
             # re-crops strips to the ink band via the two-pass refined warp
             # (ops.warp.refine_quads_to_ink), but refinement still leaves

@@ -30,6 +30,12 @@ def main():
                     help="BiLSTM hidden size of the trained model")
     ap.add_argument("--channels", default="32,64,128,256",
                     help="conv channel progression, comma-separated")
+    ap.add_argument("--p-space", type=float, default=0.0,
+                    help="per-char space probability in synthetic text")
+    ap.add_argument("--aug-rotation", type=float, default=0.0,
+                    help="rotate half the synthetic strips by +-DEG")
+    ap.add_argument("--det-rotation", type=float, default=0.0,
+                    help="per-line rotation range of det-crop pages")
     ap.add_argument("--mix-det-crops", type=int, default=0, metavar="PAGES",
                     help="render PAGES pages, run the real detection+refined"
                          "-warp path, and mix the resulting gt-labeled crops "
@@ -72,7 +78,8 @@ def main():
 
         eng = OcrEngine.from_pretrained()
         det_crops = generate_det_crops(
-            eng, n_pages=args.mix_det_crops, width=args.width)
+            eng, n_pages=args.mix_det_crops, width=args.width,
+            max_rotation=args.det_rotation)
         print(f"det crops: {det_crops.images.shape[0]} strips from "
               f"{args.mix_det_crops} pages", flush=True)
 
@@ -83,6 +90,8 @@ def main():
         log=lambda m: print(m, flush=True),
         init_variables=init_variables,
         det_crops=det_crops,
+        p_space=args.p_space,
+        aug_rotation=args.aug_rotation,
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,

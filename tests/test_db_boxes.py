@@ -134,3 +134,69 @@ def test_empty_prob_map():
     assert np.asarray(out["valid"]).sum() == 0
     hb, hs = extract_boxes_host(np.zeros((64, 64), np.float32))
     assert len(hb) == 0
+
+
+def test_near_square_component_borrows_page_angle():
+    # A long trustworthy line at ~6 deg plus a near-square blob: the blob's
+    # own PCA axis is noise (eigenvalue gap ~0), so its box must align with
+    # the page-dominant angle instead of landing 45-90 deg off.
+    prob = np.zeros((192, 256), np.float32)
+    t = np.tan(np.radians(6.0))
+    for x in range(15, 230):
+        yc = 60 + (x - 15) * t
+        prob[int(yc) - 6:int(yc) + 7, x] = 0.9
+    prob[130:148, 40:58] = 0.9  # 18x18 square blob
+    out = extract_boxes(jnp.asarray(prob), max_candidates=8, cc_iters=8)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 2
+    boxes = np.asarray(out["boxes"])[valid]
+    sq = boxes[np.argmin([b[:, 0].mean() for b in boxes])] \
+        if boxes[0][:, 1].mean() > boxes[1][:, 1].mean() else boxes[0]
+    sq = min(boxes, key=lambda b: abs(b[:, 0].mean() - 49.0))
+    e = sq[1] - sq[0]
+    ang = np.degrees(np.arctan2(e[1], e[0])) % 90.0
+    ang = min(ang, 90.0 - ang)
+    assert abs(ang - 6.0) < 2.5, ang
+
+
+def test_warp_pad_value_fills_beyond_width():
+    from ocrjax.ops.warp import warp_quads, warp_quads_separable
+
+    page = jnp.ones((128, 128), jnp.float32)
+    quads = jnp.asarray(
+        [[[10.0, 20.0], [40.0, 20.0], [40.0, 35.0], [10.0, 35.0]]])
+    strips, widths = warp_quads(page, quads, rec_height=16, bucket_width=96,
+                                pad_value=-1.0)
+    w = int(widths[0])
+    assert w < 96
+    np.testing.assert_allclose(np.asarray(strips)[0, :, w:], -1.0)
+    s2, w2 = warp_quads_separable(page[None], quads[None], rec_height=16,
+                                  bucket_width=96, pad_value=-1.0)
+    np.testing.assert_allclose(np.asarray(s2)[0, 0, :, int(w2[0, 0]):], -1.0)
+
+
+def test_refine_x_window_rejects_side_neighbor():
+    # main ink block + a neighbor sliver that only the expansion margin
+    # reaches: x_margin_keep < 1 must exclude it from the refined box,
+    # keep=1.0 (legacy) includes it.
+    from ocrjax.ops.warp import (expand_quads, refine_aabb_to_ink,
+                                 warp_quads_separable)
+
+    page = np.ones((256, 256), np.float32)
+    page[24:41, 40:151] = -1.0     # the line's ink
+    page[24:41, 160:163] = -1.0    # side-neighbor sliver
+    det = np.asarray([[[38.0, 22.0], [152.0, 22.0],
+                       [152.0, 42.0], [38.0, 42.0]]], np.float32)
+    fy, fx = 0.15, 0.55            # wide x margin so the probe sees 160..162
+    exp = expand_quads(det, fy, fx)
+    strips, widths = warp_quads_separable(
+        jnp.asarray(page[None]), jnp.asarray(exp[None]),
+        rec_height=32, bucket_width=320, pad_value=1.0)
+    kw = dict(rec_height=32, ink_thresh=0.0, margin_fracs=(fy, fx))
+    loose = refine_aabb_to_ink(
+        strips[0], widths[0], jnp.asarray(exp), x_margin_keep=1.0, **kw)
+    tight = refine_aabb_to_ink(
+        strips[0], widths[0], jnp.asarray(exp), x_margin_keep=0.2, **kw)
+    assert float(np.asarray(loose)[0, :, 0].max()) >= 158.0
+    assert float(np.asarray(tight)[0, :, 0].max()) <= 157.0
+    assert float(np.asarray(tight)[0, :, 0].max()) >= 148.0  # kept the ink
