@@ -60,15 +60,22 @@ def render_line(
 
 def random_text(rng: np.random.RandomState, charset: Charset,
                 min_len: int = 1, max_len: int = 12,
-                p_space: float = 0.0) -> str:
+                p_space: float = 0.0, char_weights=None) -> str:
     """Uniform random text. p_space > 0 makes each position a space with
     that probability (uniform charset otherwise): real text is ~15% spaces
     but a uniform draw over the 95-char set renders them 1%, leaving the
     recognizer space-blind under distortion (measured: e2e space drops on
-    rotated pages)."""
+    rotated pages). char_weights: optional {char: relative weight} tilting
+    the draw — used to give visually-identical glyph pairs (l/I are both
+    bare vertical strokes in DejaVu Sans) the real-text prior instead of a
+    coin flip."""
     n = rng.randint(min_len, max_len + 1)
     chars = charset.chars
-    idx = rng.randint(0, len(chars), size=n)
+    if char_weights:
+        w = np.array([char_weights.get(c, 1.0) for c in chars], np.float64)
+        idx = rng.choice(len(chars), size=n, p=w / w.sum())
+    else:
+        idx = rng.randint(0, len(chars), size=n)
     text = "".join(chars[i] for i in idx)
     if p_space > 0 and " " in charset._char_to_id:
         mask = rng.rand(n) < p_space
@@ -101,6 +108,7 @@ def make_line_batch(
     fonts: Sequence[str] = FONTS,
     p_space: float = 0.0,
     max_rotation: float = 0.0,
+    char_weights=None,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -117,7 +125,7 @@ def make_line_batch(
     for b in range(batch_size):
         while True:
             text = random_text(rng, charset, min_len, max_len,
-                               p_space=p_space)
+                               p_space=p_space, char_weights=char_weights)
             # scale augmentation: render at a random native height and
             # resize to the model height, so inference is robust to
             # upscaled/downscaled inputs (rec_resize does the same at

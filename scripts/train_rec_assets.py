@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--finetune", action="store_true",
                     help="warm-start from the shipped assets/rec.safetensors")
+    ap.add_argument("--finetune-from", default=None, metavar="PATH",
+                    help="warm-start from an arbitrary rec safetensors file")
     ap.add_argument("--hidden", type=int, default=160,
                     help="BiLSTM hidden size of the trained model")
     ap.add_argument("--channels", default="32,64,128,256",
@@ -34,6 +36,9 @@ def main():
                     help="per-char space probability in synthetic text")
     ap.add_argument("--aug-rotation", type=float, default=0.0,
                     help="rotate half the synthetic strips by +-DEG")
+    ap.add_argument("--l-bias", type=float, default=1.0,
+                    help="sampling weight of 'l' relative to other chars "
+                         "(sets the prior for the ambiguous l/I stroke)")
     ap.add_argument("--det-rotation", type=float, default=0.0,
                     help="per-line rotation range of det-crop pages")
     ap.add_argument("--mix-det-crops", type=int, default=0, metavar="PAGES",
@@ -67,9 +72,10 @@ def main():
     out = args.out or assets_p
 
     init_variables = None
-    if args.finetune:
-        init_variables = W.load_variables(assets_p)
-        print("warm-starting from", assets_p, flush=True)
+    if args.finetune or args.finetune_from:
+        src = args.finetune_from or assets_p
+        init_variables = W.load_variables(src)
+        print("warm-starting from", src, flush=True)
 
     det_crops = None
     if args.mix_det_crops:
@@ -92,6 +98,7 @@ def main():
         det_crops=det_crops,
         p_space=args.p_space,
         aug_rotation=args.aug_rotation,
+        char_weights={"l": args.l_bias} if args.l_bias != 1.0 else None,
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,

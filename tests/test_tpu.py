@@ -43,17 +43,17 @@ def test_extract_boxes_on_tpu():
 
 
 def test_e2e_quality_gate_on_tpu():
-    """Lock in the measured e2e quality level (refined warp + det-crop-mix
-    fine-tuned weights: 0.87-0.89 line exact across seeds; gate leaves
-    headroom for render noise)."""
+    """Lock in the measured e2e quality level (angle-robust boxes +
+    train-matched padding + space/rotation-augmented fine-tune: 0.87-0.93
+    line exact across seeds; gate leaves headroom for render noise)."""
     from ocrjax.api import OcrEngine
     from ocrjax.train.e2e_eval import evaluate_e2e
 
     eng = OcrEngine.from_pretrained()
     m = evaluate_e2e(eng, n_pages=8, seed=123)
     assert m["det_recall"] >= 0.95, m
-    assert m["line_exact_match"] >= 0.80, m
-    assert m["char_error_rate"] <= 0.06, m
+    assert m["line_exact_match"] >= 0.82, m
+    assert m["char_error_rate"] <= 0.05, m
 
 
 def test_pallas_ccl_parity_on_tpu():
@@ -72,8 +72,8 @@ def test_pallas_ccl_parity_on_tpu():
 
 def test_rotated_pages_e2e_on_tpu():
     """Rotated lines (±10°): DB detection finds the rotated rects and the
-    exact homography warp rectifies them (measured 59/59 found, ~75% line
-    exact with the shipped weights; gate leaves headroom)."""
+    exact homography warp rectifies them (measured ~0.87 line exact with the
+    angle-robust boxes + rotation-augmented weights; gate leaves headroom)."""
     from ocrjax.api import OcrEngine
     from ocrjax.train import synth
 
@@ -99,4 +99,4 @@ def test_rotated_pages_e2e_on_tpu():
                 found += 1
                 exact += best.text == t
     assert found / tot >= 0.9, (found, tot)
-    assert exact / tot >= 0.55, (exact, tot)
+    assert exact / tot >= 0.70, (exact, tot)
