@@ -86,6 +86,21 @@ def label_components(bitmap: jnp.ndarray, n_iters: int = 6) -> jnp.ndarray:
     return jax.lax.fori_loop(0, n_iters, body, labels)
 
 
+def _label_components_fast(bitmap: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """label_components, routed to the VMEM-resident Pallas kernel on TPU.
+
+    Same contract and per-iteration reach (full row/col runs + 3x3 hop);
+    parity is pinned by tests/test_pallas_ccl.py and the TPU parity test.
+    Measured at the production size (16x 240² coarse grids): 19.8 ms XLA
+    scans vs 4.4 ms Pallas — the HBM round trips per scan pass dominate the
+    XLA formulation (see ops/pallas/cc_label.py). CPU jax keeps the scans
+    (interpret-mode Pallas is orders slower)."""
+    if jax.devices()[0].platform == "tpu":
+        from ocrjax.ops.pallas.cc_label import label_components_pallas
+        return label_components_pallas(bitmap, n_iters)
+    return label_components(bitmap, n_iters)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_candidates", "cc_iters", "cc_downsample"))
@@ -127,19 +142,22 @@ def extract_boxes(
             raise ValueError(f"H, W must be multiples of cc_downsample={d}")
         fg_c = jax.lax.reduce_window(
             fg, False, jnp.logical_or, (d, d), (d, d), "VALID")
-        labels_c = label_components(fg_c, cc_iters)
+        labels_c = _label_components_fast(fg_c, cc_iters)
         roots_flat = labels_c.reshape(-1)
         lin_c = jnp.arange((H // d) * (W // d), dtype=jnp.int32)
         is_root = (roots_flat == lin_c)
         root_src = roots_flat
         labels = jnp.repeat(jnp.repeat(labels_c, d, 0), d, 1)
-        # stats on a stride-2 pixel subsample: labels are block-constant
-        # after the repeat, so the partition is exact; extents lose ≤1 px
-        # (absorbed by unclip) and the broadcast reductions below — the
-        # dominant cost at full res — shrink 4x.
-        stat_stride = 2
+        # stats on a stride-d pixel subsample — one sample per coarse CCL
+        # cell, so every component cell carries equal weight (uniform
+        # moments) and the partition is exact (labels are block-constant
+        # after the repeat). Extents lose ≤ d-1 px per side (compensated
+        # below, residual absorbed by unclip); the (P, C) broadcast
+        # reductions — the dominant postprocess cost at full res — shrink
+        # d² x (measured 11.5 → 3 ms per 16-page batch at d=4).
+        stat_stride = d
     else:
-        labels = label_components(fg, cc_iters)
+        labels = _label_components_fast(fg, cc_iters)
         lin_f = jnp.arange(H * W, dtype=jnp.int32)
         is_root = (labels.reshape(-1) == lin_f)
         root_src = labels.reshape(-1)
