@@ -223,11 +223,20 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
     charset = Charset.from_file(cs_p) if os.path.exists(cs_p) else None
     rec_v = W.load_variables(rec_p) if os.path.exists(rec_p) else None
     det_v = W.load_variables(det_p) if os.path.exists(det_p) else None
-    if config is None and os.path.exists(rec_p):
-        meta = W.load_metadata(rec_p)
-        if "config" in meta:
-            import json
-            cfg_dict = json.loads(meta["config"])
+    if config is None:
+        import json
+        cfg_dict = {}
+        if os.path.exists(rec_p):
+            meta = W.load_metadata(rec_p)
+            if "config" in meta:
+                cfg_dict.update(json.loads(meta["config"]))
+        if os.path.exists(det_p):
+            # det-side structural fields (e.g. det_head_stride) ride the det
+            # file's metadata so the right model is built for the weights
+            meta = W.load_metadata(det_p)
+            if "config" in meta:
+                cfg_dict.update(json.loads(meta["config"]))
+        if cfg_dict:
             cfg_dict = {k: tuple(v) if isinstance(v, list) else v
                         for k, v in cfg_dict.items()}
             config = OcrConfig(**cfg_dict)

@@ -57,26 +57,25 @@ class _DetState:
 
         @functools.partial(
             jax.jit,
-            static_argnames=("max_candidates", "cc_iters", "cc_downsample"))
+            static_argnames=("max_candidates", "cc_iters", "cc_downsample",
+                             "coord_stride"))
         def boxes_fn(prob, thresh, box_thresh, unclip_ratio, min_box_size,
-                     max_candidates, cc_iters, cc_downsample):
+                     **static_kw):
             out = jax.vmap(lambda p: db_boxes.extract_boxes(
                 p, thresh=thresh, box_thresh=box_thresh,
                 unclip_ratio=unclip_ratio, min_box_size=min_box_size,
-                max_candidates=max_candidates, cc_iters=cc_iters,
-                cc_downsample=cc_downsample))(prob)
+                **static_kw))(prob)
             return pack_det(out)
 
         def forward(variables, gray_u8):
             """→ (prob [device], packed candidates [device]) — fetch the
-            packed array with ONE np.asarray; see unpack_det."""
+            packed array with ONE np.asarray; see unpack_det. Candidate
+            coordinates are CANVAS pixels even with a strided det head."""
             c = self.engine.config
             prob = prob_fn(variables, gray_u8)
             packed = boxes_fn(prob, c.det_thresh, c.det_box_thresh,
                               c.det_unclip_ratio, float(c.det_min_box_size),
-                              max_candidates=c.det_max_candidates,
-                              cc_iters=c.det_cc_iters,
-                              cc_downsample=c.det_cc_downsample)
+                              **db_boxes.static_kwargs_from_config(c))
             return prob, packed
 
         self.forward = forward

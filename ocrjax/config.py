@@ -23,6 +23,14 @@ class OcrConfig:
     det_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     det_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
+    det_head_stride: int = 1         # det prob-map stride vs the canvas: 4
+                                     # detects on the FPN's native S/4 grid
+                                     # (cuts the head's learned upsampling —
+                                     # ~11 ms of a 31 ms forward); box coords
+                                     # scale back to canvas px in
+                                     # extract_boxes and the ink refinement
+                                     # recovers exact geometry at full res
+
     # --- DB postprocess (SURVEY.md §2.1 R3) ---
     det_thresh: float = 0.3          # prob-map binarization threshold
     det_box_thresh: float = 0.6      # mean-score filter for candidate boxes

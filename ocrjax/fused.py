@@ -70,9 +70,7 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             p, thresh=thr[0], box_thresh=thr[1],
             unclip_ratio=thr[2],
             min_box_size=thr[3],
-            max_candidates=cfg.det_max_candidates,
-            cc_iters=cfg.det_cc_iters,
-            cc_downsample=cfg.det_cc_downsample))(prob)
+            **db_boxes.static_kwargs_from_config(cfg)))(prob)
 
         # ---- top-K lines per page by score ---------------------------------
         score = jnp.where(cand["valid"], cand["scores"], -1.0)  # (B, C)

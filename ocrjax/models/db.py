@@ -116,9 +116,23 @@ class FPN(nn.Module):
 
 
 class DBHead(nn.Module):
-    """conv + 2x ConvTranspose ×2 → full-resolution 1-channel map."""
+    """conv (+ learned ConvTranspose upsampling) → 1-channel logit map.
+
+    out_stride selects the output resolution relative to the input canvas:
+      1 — DB-classic full resolution (two ×2 ConvTransposes);
+      2 — one ConvTranspose, map at S/2;
+      4 — no upsampling, map at the FPN's native S/4.
+    Profiling the fused pipeline put ~11 ms of a 31 ms detection forward in
+    the two transposed convs + the layout copies XLA inserts around them —
+    upsampling a map that extract_boxes immediately coarsens again. The
+    stride-4 head detects on the native grid; box coordinates scale back to
+    canvas pixels in extract_boxes (coord_stride) and the two-pass ink
+    refinement (ops.warp) re-derives exact geometry from the FULL-res
+    canvas, so end-to-end quality is insensitive to the map stride.
+    """
 
     inner: int = 96
+    out_stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -126,9 +140,17 @@ class DBHead(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = ConvBNRelu(self.inner // 4, **kw)(x, train)
+        if self.out_stride == 4:
+            x = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                        param_dtype=self.param_dtype)(x)
+            return x[..., 0]  # (B, S/4, S/4) logits, float32
         x = nn.ConvTranspose(self.inner // 4, (2, 2), strides=(2, 2), **kw)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, **kw)(x)
         x = nn.relu(x)
+        if self.out_stride == 2:
+            x = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                        param_dtype=self.param_dtype)(x)
+            return x[..., 0]  # (B, S/2, S/2)
         x = nn.ConvTranspose(1, (2, 2), strides=(2, 2),
                              dtype=jnp.float32,
                              param_dtype=self.param_dtype)(x)
@@ -141,6 +163,7 @@ class DBDetector(nn.Module):
     channels: Sequence[int] = (64, 128, 256, 512)
     inner: int = 96
     blocks_per_stage: int = 2
+    head_stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -153,13 +176,13 @@ class DBDetector(nn.Module):
         feats = Backbone(self.channels, self.blocks_per_stage, **kw)(
             images.astype(self.dtype), train)
         fused = FPN(self.inner, **kw)(feats)
-        p_logits = DBHead(self.inner, **kw)(fused, train)
+        p_logits = DBHead(self.inner, self.head_stride, **kw)(fused, train)
         out = {"prob": jax.nn.sigmoid(p_logits)}
         # The thresh head must also run during init (else its params are
         # never created and a later train-mode apply fails); inference-mode
         # apply (train=False, initialized) skips its compute entirely.
         if train or self.is_initializing():
-            t_logits = DBHead(self.inner, **kw)(fused, train)
+            t_logits = DBHead(self.inner, self.head_stride, **kw)(fused, train)
             thresh = jax.nn.sigmoid(t_logits)
             if train:
                 out["thresh"] = thresh
@@ -172,6 +195,7 @@ def create_db(config, channels: Sequence[int] = None) -> DBDetector:
     """Build a DBDetector from an OcrConfig (SURVEY.md §2.3 N2)."""
     return DBDetector(
         channels=tuple(channels) if channels else (64, 128, 256, 512),
+        head_stride=getattr(config, "det_head_stride", 1),
         dtype=jnp.dtype(config.compute_dtype),
         param_dtype=jnp.dtype(config.param_dtype),
     )

@@ -103,7 +103,8 @@ def _label_components_fast(bitmap: jnp.ndarray, n_iters: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_candidates", "cc_iters", "cc_downsample"))
+    static_argnames=("max_candidates", "cc_iters", "cc_downsample",
+                     "coord_stride"))
 def extract_boxes(
     prob: jnp.ndarray,
     *,
@@ -114,10 +115,16 @@ def extract_boxes(
     min_box_size: float = 3,
     cc_iters: int = 4,
     cc_downsample: int = 1,
+    coord_stride: int = 1,
     angle_aniso_floor: float = 0.30,
     angle_flip_below: float = 0.75,
 ) -> Dict[str, jnp.ndarray]:
     """Single prob map (H, W) float → C fixed candidate boxes.
+
+    coord_stride: canvas pixels per prob-map pixel (the det head's output
+    stride — see models.db.DBHead). Box coordinates and the min_box_size
+    filter are expressed in CANVAS pixels regardless of map resolution;
+    unclip is scale-invariant (δ = A·r/P is linear in scale).
 
     Returns dict:
       boxes  (C, 4, 2) float32 — corners TL,TR,BR,BL in canvas pixel coords
@@ -264,7 +271,7 @@ def extract_boxes(
     bw = jnp.where(has_comp, umax - umin + 1.0, 0.0)
     bh = jnp.where(has_comp, vmax - vmin + 1.0, 0.0)
     valid = has_comp & (cnt > 0) & (score >= box_thresh) \
-        & (jnp.minimum(bw, bh) >= min_box_size)
+        & (jnp.minimum(bw, bh) * coord_stride >= min_box_size)
 
     # ---- unclip ------------------------------------------------------------
     # unclip_ratio > 0: classic DB rule, grow the rect by δ = A·r/P.
@@ -294,10 +301,26 @@ def extract_boxes(
     bx = us * ct[:, None] - vs * st[:, None]
     by = us * st[:, None] + vs * ct[:, None]
     boxes = jnp.stack([bx, by], axis=-1)                      # (C, 4, 2)
+    if coord_stride > 1:  # map px → canvas px (cell centers)
+        boxes = boxes * coord_stride + 0.5 * (coord_stride - 1)
     boxes = jnp.clip(boxes, 0.0,
-                     jnp.array([W - 1, H - 1], jnp.float32))
+                     jnp.array([W * coord_stride - 1,
+                                H * coord_stride - 1], jnp.float32))
 
     return {"boxes": boxes, "scores": score, "valid": valid}
+
+
+def static_kwargs_from_config(cfg) -> Dict:
+    """The static extract_boxes params implied by a config: with a strided
+    det head the prob map is already coarse, so the residual CCL downsample
+    is det_cc_downsample / det_head_stride (total coarsening unchanged)."""
+    hs = getattr(cfg, "det_head_stride", 1)
+    return dict(
+        max_candidates=cfg.det_max_candidates,
+        cc_iters=cfg.det_cc_iters,
+        cc_downsample=max(1, cfg.det_cc_downsample // hs),
+        coord_stride=hs,
+    )
 
 
 def extract_boxes_from_config(prob: jnp.ndarray, cfg) -> Dict[str, jnp.ndarray]:
@@ -306,8 +329,6 @@ def extract_boxes_from_config(prob: jnp.ndarray, cfg) -> Dict[str, jnp.ndarray]:
         thresh=cfg.det_thresh,
         box_thresh=cfg.det_box_thresh,
         unclip_ratio=cfg.det_unclip_ratio,
-        max_candidates=cfg.det_max_candidates,
         min_box_size=cfg.det_min_box_size,
-        cc_iters=cfg.det_cc_iters,
-        cc_downsample=cfg.det_cc_downsample,
+        **static_kwargs_from_config(cfg),
     )

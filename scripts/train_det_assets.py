@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--head-stride", type=int, default=1, choices=(1, 2, 4),
+                    help="det head output stride (4 = detect on the FPN's "
+                         "native S/4 grid; ~30%% faster det forward)")
     args = ap.parse_args()
 
     import jax
@@ -33,7 +36,7 @@ def main():
     from ocrjax.config import OcrConfig
     from ocrjax.train.det_trainer import train_det
 
-    config = OcrConfig()
+    config = OcrConfig(det_head_stride=args.head_stride)
     result = train_det(
         config=config, charset=default_charset(), steps=args.steps,
         batch_size=args.batch, size=args.size, lr=args.lr, seed=args.seed,
@@ -42,11 +45,13 @@ def main():
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "assets", "det.safetensors")
+    import json
     W.save_variables(out, result.variables, metadata={
         "kind": "db",
         "recall": f"{result.recall:.4f}",
         "precision": f"{result.precision:.4f}",
         "steps": str(args.steps),
+        "config": json.dumps({"det_head_stride": args.head_stride}),
     })
     print("saved", out, "recall", result.recall, "precision",
           result.precision, flush=True)
