@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--det-max-side", type=int, default=None)
         sp.add_argument("--charset", default=None,
                         help="charset dict file (one char per line)")
+        sp.add_argument("--viz", default=None, metavar="PATH",
+                        help="write a debug visualization (detected quads +"
+                             " text drawn on the page); for multiple inputs"
+                             " PATH gets an index suffix")
 
     sp = sub.add_parser("recognize", help="C1: text-line image → string")
     common(sp)
@@ -152,6 +156,11 @@ def _main(args) -> int:
                      "quad": _quad_list(l.box.quad),
                      "score": round(l.box.score, 4)} for l in res.lines],
                     "ms": ms})
+            if getattr(args, "viz", None):
+                for i, item in enumerate(out):
+                    dest = (args.viz if len(out) == 1
+                            else _viz_indexed(args.viz, i))
+                    _write_viz(item["image"], item, dest)
             _emit(args, out)
             return 0
         for path in args.images:
@@ -177,8 +186,39 @@ def _main(args) -> int:
                      "score": round(l.box.score, 4)} for l in res.lines]})
             out[-1]["ms"] = round((time.perf_counter() - t0) * 1e3, 1)
 
+    if getattr(args, "viz", None) and args.cmd in ("detect", "ocr"):
+        for i, item in enumerate(out):
+            dest = args.viz if len(out) == 1 else _viz_indexed(args.viz, i)
+            _write_viz(item["image"], item, dest)
+
     _emit(args, out)
     return 0
+
+
+def _viz_indexed(path: str, i: int) -> str:
+    import os
+    root, ext = os.path.splitext(path)
+    return f"{root}.{i}{ext or '.png'}"
+
+
+def _write_viz(image_path, item, dest) -> None:
+    """Debug visualization (reference CLI parity, SURVEY.md §2.1 R10):
+    detected quads (green) + decoded text (red) over the page."""
+    from PIL import Image, ImageDraw
+
+    from ocrjax import preprocess
+
+    img = Image.fromarray(preprocess.load_image(image_path)).convert("RGB")
+    draw = ImageDraw.Draw(img)
+    entries = (item.get("boxes") or item.get("lines") or [])
+    for e in entries:
+        q = [tuple(pt) for pt in e["quad"]]
+        draw.polygon(q, outline=(0, 200, 0), width=2)
+        if "text" in e:
+            x = min(p[0] for p in q)
+            y = min(p[1] for p in q)
+            draw.text((x, max(0, y - 12)), e["text"], fill=(220, 0, 0))
+    img.save(dest)
 
 
 def _emit(args, out) -> None:

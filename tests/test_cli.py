@@ -56,3 +56,23 @@ def test_charset_size_mismatch(tmp_path, strip_path):
     bad.write_text("a\nb\n")
     with pytest.raises(SystemExit):
         cli.main(["recognize", strip_path, "--charset", str(bad)])
+
+
+def test_detect_viz_writes_image(tmp_path, capsys):
+    from ocrjax.train.synth import render_page
+    from ocrjax.charset import default_charset
+
+    rng = np.random.RandomState(5)
+    page, quads, _ = render_page(rng, default_charset(), size=(320, 320),
+                                 n_lines=(2, 3))
+    src = str(tmp_path / "page.png")
+    cv2.imwrite(src, page)
+    dest = str(tmp_path / "viz.png")
+    rc = cli.main(["detect", src, "--viz", dest])
+    capsys.readouterr()
+    assert rc == 0
+    viz = cv2.imread(dest)
+    assert viz is not None and viz.shape[:2] == (320, 320)
+    # green quad outlines actually drawn
+    g = (viz[:, :, 1].astype(int) - viz[:, :, 2].astype(int)) > 100
+    assert g.sum() > 50
