@@ -199,19 +199,6 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                       cfg.det_unclip_ratio, float(cfg.det_min_box_size)],
                      np.float32)
 
-    grays = np.zeros((B, cfg.det_max_side, cfg.det_max_side), np.uint8)
-    scales = np.ones((B,), np.float64)
-    valid_hw = np.zeros((B, 2), np.int64)
-    ok = np.ones((B,), bool)
-    for i, image in enumerate(images):
-        try:
-            img = preprocess.load_image(image)
-            canvas, scales[i], valid_hw[i] = \
-                preprocess.det_resize_to_canvas(img, cfg)
-            grays[i] = preprocess.to_gray(canvas)
-        except Exception:  # noqa: BLE001 — per-page isolation
-            ok[i] = False
-
     from ocrjax.api_det import _det_state
     st = _det_state(engine)
     # Pipelined chunk dispatch: every chunk's upload + program launch is
@@ -221,17 +208,30 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     # ~70 pages/s, 3x16 dispatched ahead ~98 pages/s. Chunks must share one
     # shape to reuse the compiled program, so B is cut into equal chunks
     # of at most fused_chunk_pages (remainder pages run as one extra call).
+    # Host preprocessing is INTERLEAVED per chunk — decode/resize of chunk
+    # k+1 runs while chunk k's upload and compute are in flight (measured
+    # +20-50% batch throughput; preprocessing all pages up front left the
+    # device idle for the whole decode pass).
     C = max(1, min(cfg.fused_chunk_pages, B))
-    n_full = B // C
-    valid_wh = valid_hw[:, ::-1].astype(np.float32)  # (B, 2) (w, h)
-    outs = [fused(st.variables, engine.rec_variables,
-                  jax.device_put(grays[i * C:(i + 1) * C]), thr,
-                  valid_wh[i * C:(i + 1) * C])
-            for i in range(n_full)]
-    if B % C:
-        outs.append(fused(st.variables, engine.rec_variables,
-                          jax.device_put(grays[n_full * C:]), thr,
-                          valid_wh[n_full * C:]))
+    S = cfg.det_max_side
+    scales = np.ones((B,), np.float64)
+    valid_hw = np.zeros((B, 2), np.int64)
+    ok = np.ones((B,), bool)
+    outs = []
+    for lo in range(0, B, C):
+        hi = min(lo + C, B)
+        grays = np.zeros((hi - lo, S, S), np.uint8)
+        for i in range(lo, hi):
+            try:
+                img = preprocess.load_image(images[i])
+                canvas, scales[i], valid_hw[i] = \
+                    preprocess.det_resize_to_canvas(img, cfg)
+                grays[i - lo] = preprocess.to_gray(canvas)
+            except Exception:  # noqa: BLE001 — per-page isolation
+                ok[i] = False
+        outs.append(fused(
+            st.variables, engine.rec_variables, jax.device_put(grays), thr,
+            valid_hw[lo:hi, ::-1].astype(np.float32)))
     for o in outs:
         try:
             o.copy_to_host_async()
