@@ -86,6 +86,14 @@ def label_components(bitmap: jnp.ndarray, n_iters: int = 6) -> jnp.ndarray:
     return jax.lax.fori_loop(0, n_iters, body, labels)
 
 
+# Empirical VMEM ceiling for the whole-grid Pallas CCL kernel: the scoped
+# stack peaks at ~156 B/cell (labels + Hillis-Steele roll temporaries), and
+# the TPU scoped-vmem limit is 16 MB → ~107k cells. 90k leaves margin: the
+# 960-canvas coarse grid (240² = 57.6k) routes to Pallas, the 2048-tile
+# grid (512² = 262k, measured 39 MB > limit) falls back to the XLA scans.
+_PALLAS_CCL_MAX_CELLS = 90_000
+
+
 def _label_components_fast(bitmap: jnp.ndarray, n_iters: int) -> jnp.ndarray:
     """label_components, routed to the VMEM-resident Pallas kernel on TPU.
 
@@ -94,8 +102,11 @@ def _label_components_fast(bitmap: jnp.ndarray, n_iters: int) -> jnp.ndarray:
     Measured at the production size (16x 240² coarse grids): 19.8 ms XLA
     scans vs 4.4 ms Pallas — the HBM round trips per scan pass dominate the
     XLA formulation (see ops/pallas/cc_label.py). CPU jax keeps the scans
-    (interpret-mode Pallas is orders slower)."""
-    if jax.devices()[0].platform == "tpu":
+    (interpret-mode Pallas is orders slower); grids past the kernel's VMEM
+    ceiling (C5's 512² tile grids) keep them too."""
+    H, W = bitmap.shape[-2:]
+    if (jax.devices()[0].platform == "tpu"
+            and H * W <= _PALLAS_CCL_MAX_CELLS):
         from ocrjax.ops.pallas.cc_label import label_components_pallas
         return label_components_pallas(bitmap, n_iters)
     return label_components(bitmap, n_iters)

@@ -100,3 +100,29 @@ def test_rotated_pages_e2e_on_tpu():
                 exact += best.text == t
     assert found / tot >= 0.9, (found, tot)
     assert exact / tot >= 0.78, (exact, tot)
+
+
+def test_c5_tiled_e2e_on_tpu():
+    """C5 on hardware: 2048px page → tiled detect → full-res recognize.
+    Regression for the Pallas-CCL VMEM ceiling: the 512² tile coarse grid
+    must route to the XLA scans (the whole-grid kernel's scoped stack peaks
+    ~156 B/cell and overflows the 16 MB limit — measured 39 MB)."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.cli import _ocr_tiled
+    from ocrjax.train import synth
+
+    eng = OcrEngine.from_pretrained()
+    rng = np.random.RandomState(42)
+    page, quads, texts = synth.render_page(
+        rng, eng.charset, size=(2048, 2048), n_lines=(12, 16), max_len=12)
+    img = np.repeat(page[..., None], 3, axis=2)
+    res = _ocr_tiled(eng, img)
+    preds = [l.text for l in res.lines]
+    rem = list(texts)
+    exact = 0
+    for p in preds:
+        if p in rem:
+            rem.remove(p)
+            exact += 1
+    assert len(preds) >= len(texts) - 1, (len(preds), len(texts))
+    assert exact / len(texts) >= 0.7, (exact, len(texts), rem)
