@@ -137,13 +137,15 @@ def detect(engine, image) -> List["DetBox"]:
     return [DetBox(quads[i], float(ss[i])) for i in order]
 
 
-def ocr(engine, image, beam: bool = False) -> "OcrResult":
+def ocr(engine, image, beam: bool = False,
+        force_staged: bool = False) -> "OcrResult":
     """C3: detect → batched on-device warp → recognize → ordered text
-    (BASELINE.json:9)."""
+    (BASELINE.json:9). force_staged skips the fused fast path (used by the
+    fused path's rotation reroute — see fused.ocr_pages_fused)."""
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
-    if cfg.ocr_single_fused:
+    if cfg.ocr_single_fused and not force_staged:
         img = preprocess.load_image(image)
         if max(img.shape[:2]) <= cfg.det_max_side:
             # Latency path: one XLA program, one upload, one fetch (~2 link

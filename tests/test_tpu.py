@@ -72,13 +72,15 @@ def test_pallas_ccl_parity_on_tpu():
 
 def test_rotated_pages_e2e_on_tpu():
     """Rotated lines (±10°): DB detection finds the rotated rects and the
-    exact homography warp rectifies them (measured ~0.87 line exact with the
-    angle-robust boxes + rotation-augmented weights; gate leaves headroom)."""
+    exact homography warp rectifies them — via the DEFAULT api, whose fused
+    path auto-reroutes tilted pages (measured 0.96 line exact; gate leaves
+    headroom)."""
     from ocrjax.api import OcrEngine
     from ocrjax.train import synth
 
     eng = OcrEngine.from_pretrained()
-    eng.config = eng.config.replace(ocr_single_fused=False)
+    # default api: fused fast path + automatic rotation reroute to the
+    # staged homography path (fused.ocr_pages_fused)
     rng = np.random.RandomState(9)
     tot = found = exact = 0
     for _ in range(4):
@@ -99,7 +101,7 @@ def test_rotated_pages_e2e_on_tpu():
                 found += 1
                 exact += best.text == t
     assert found / tot >= 0.9, (found, tot)
-    assert exact / tot >= 0.78, (exact, tot)
+    assert exact / tot >= 0.85, (exact, tot)
 
 
 def test_c5_tiled_e2e_on_tpu():
