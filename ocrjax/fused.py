@@ -168,7 +168,7 @@ def unpack_fused(payload: np.ndarray, K: int, max_tokens: int):
 
 
 def ocr_pages_fused(engine, images, lines_per_page: int = None,
-                    bucket_width: int = 320, beam: bool = False
+                    bucket_width: int = None, beam: bool = False
                     ) -> List["OcrResult"]:
     """Batched end-to-end through the fused program. Same result contract as
     bucketing.ocr_pages (per-page OcrResult, reading order, original coords).
@@ -178,6 +178,10 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     cfg = engine.config
     if lines_per_page is None:
         lines_per_page = cfg.fused_lines_per_page
+    if bucket_width is None:
+        # ~10:1 aspect capacity, snapped to the configured buckets (320 at
+        # the default 32-px rec height)
+        bucket_width = cfg.rec_bucket_for_width(10 * cfg.rec_height)
     B = len(images)
     if B == 0:
         return []

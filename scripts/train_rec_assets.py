@@ -28,6 +28,8 @@ def main():
                     help="warm-start from the shipped assets/rec.safetensors")
     ap.add_argument("--finetune-from", default=None, metavar="PATH",
                     help="warm-start from an arbitrary rec safetensors file")
+    ap.add_argument("--rec-height", type=int, default=32,
+                    help="strip height of the trained model")
     ap.add_argument("--hidden", type=int, default=160,
                     help="BiLSTM hidden size of the trained model")
     ap.add_argument("--channels", default="32,64,128,256",
@@ -62,8 +64,14 @@ def main():
     # the MXU path (bf16 convs + LSTM matmuls) representative.
     config = OcrConfig(
         rec_hidden=args.hidden,
+        rec_height=args.rec_height,
         rec_conv_channels=tuple(int(c) for c in args.channels.split(",")),
     )
+    if args.rec_height != 32:
+        # scale the width buckets with the strip height (aspect-preserving)
+        k = args.rec_height / 32.0
+        config = config.replace(rec_width_buckets=tuple(
+            int(round(b * k / 32)) * 32 for b in config.rec_width_buckets))
     charset = default_charset()
 
     assets_p = os.path.join(
@@ -102,6 +110,8 @@ def main():
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,
+        "rec_height": config.rec_height,
+        "rec_width_buckets": list(config.rec_width_buckets),
         "rec_conv_channels": list(config.rec_conv_channels),
     })
     W.save_variables(out, result.variables, metadata={
