@@ -27,7 +27,7 @@ from flax import linen as nn
 
 # Downsampling of the width axis by the conv stack (two 2x2 pools).
 WIDTH_STRIDE = 4
-# Required input height (collapsed to 1 by pools + final valid conv).
+# Default input height (collapsed to 1 by pools + final valid conv).
 INPUT_HEIGHT = 32
 
 
@@ -97,6 +97,9 @@ class CRNN(nn.Module):
     num_classes: int
     hidden: int = 256
     channels: Sequence[int] = (64, 128, 256, 512)
+    input_height: int = INPUT_HEIGHT  # must be a multiple of 16: the four
+                                      # height pools leave H/16 rows for the
+                                      # final VALID collapse conv
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -107,12 +110,15 @@ class CRNN(nn.Module):
         widths: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """images: (B, 32, W, 1) normalized grayscale; widths: (B,) valid
-        pixel widths (defaults to W). Returns (logits (B, T, C), frame_lengths
-        (B,)) with T = W // 4."""
+        """images: (B, input_height, W, 1) normalized grayscale; widths:
+        (B,) valid pixel widths (defaults to W). Returns (logits (B, T, C),
+        frame_lengths (B,)) with T = W // 4."""
         B, H, W, _ = images.shape
-        if H != INPUT_HEIGHT:
-            raise ValueError(f"CRNN expects height {INPUT_HEIGHT}, got {H}")
+        if H != self.input_height:
+            raise ValueError(
+                f"CRNN expects height {self.input_height}, got {H}")
+        if H % 16 != 0:
+            raise ValueError(f"input_height {H} must be a multiple of 16")
         if W % WIDTH_STRIDE != 0:
             raise ValueError(f"width {W} must be a multiple of {WIDTH_STRIDE}")
         if widths is None:
@@ -131,9 +137,9 @@ class CRNN(nn.Module):
         x = nn.max_pool(x, (2, 1), strides=(2, 1))                # 4 x W/4
         x = ConvBNRelu(c4, **kw)(x, train)
         x = ConvBNRelu(c4, use_bn=False, **kw)(x, train)
-        x = nn.max_pool(x, (2, 1), strides=(2, 1))                # 2 x W/4
-        # Collapse the remaining height with a VALID-in-H conv: 2 x T -> 1 x T.
-        x = ConvBNRelu(c4, kernel=(2, 3),
+        x = nn.max_pool(x, (2, 1), strides=(2, 1))                # H/16 x W/4
+        # Collapse the remaining height with a VALID-in-H conv: H/16 -> 1.
+        x = ConvBNRelu(c4, kernel=(self.input_height // 16, 3),
                        padding=((0, 0), (1, 1)), **kw)(x, train)  # 1 x W/4
 
         feats = jnp.squeeze(x, axis=1)                            # (B, T, C)
@@ -155,6 +161,7 @@ def create_crnn(config, num_classes: int) -> CRNN:
         num_classes=num_classes,
         hidden=config.rec_hidden,
         channels=tuple(config.rec_conv_channels),
+        input_height=config.rec_height,
         dtype=jnp.dtype(config.compute_dtype),
         param_dtype=jnp.dtype(config.param_dtype),
     )

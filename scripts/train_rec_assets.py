@@ -91,6 +91,11 @@ def main():
         from ocrjax.train.det_crops import generate_det_crops
 
         eng = OcrEngine.from_pretrained()
+        # det crops must match the TRAINED model's strip geometry (the
+        # engine's own rec weights are unused here — detection + warp only)
+        eng.config = eng.config.replace(
+            rec_height=config.rec_height,
+            rec_width_buckets=config.rec_width_buckets)
         det_crops = generate_det_crops(
             eng, n_pages=args.mix_det_crops, width=args.width,
             max_rotation=args.det_rotation)
