@@ -142,10 +142,10 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     # measured minutes after 89). If the best window is still far below the
     # ceiling, keep sampling on a bounded budget — measuring through a
     # congestion episode otherwise reports the tunnel, not the framework.
-    deadline = time.time() + 8 * 60
+    deadline = time.time() + 5 * 60
     while (max(fused_sets) < 0.4 * report["pages_per_sec_device"]
            and time.time() < deadline):
-        time.sleep(45)
+        time.sleep(30)
         fused_sets.append(fused_set(2))
 
     report["pages_per_sec_fused"] = max(fused_sets)
