@@ -278,6 +278,16 @@ def extract_boxes(
         umin, umax = umin - pad_, umax + pad_
         vmin, vmax = vmin - pad_, vmax + pad_
 
+    # Empty lanes (no component, or every pixel missed by the stat stride)
+    # leave ±inf extents; zero them so the trig products below stay finite —
+    # the whole program's outputs are NaN-free, and jax_debug_nans runs
+    # clean over it (SURVEY.md §4.2 sanitizers).
+    none_ = cnt < 0.5
+    umin = jnp.where(none_, 0.0, umin)
+    umax = jnp.where(none_, 0.0, umax)
+    vmin = jnp.where(none_, 0.0, vmin)
+    vmax = jnp.where(none_, 0.0, vmax)
+
     # ---- filters (pre-unclip, like DB's sside check) ----------------------
     bw = jnp.where(has_comp, umax - umin + 1.0, 0.0)
     bh = jnp.where(has_comp, vmax - vmin + 1.0, 0.0)

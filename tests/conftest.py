@@ -29,7 +29,10 @@ import pytest  # noqa: E402
 if not os.environ.get("OCRJAX_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_debug_nans", False)  # flipped on per-test where useful
+# SURVEY.md §4.2: NaN-checking on for the CPU suite — every jit output is
+# verified finite-or-intentional. Off on the real TPU (forces per-call
+# device syncs, and the remote tunnel makes those ~100x more expensive).
+jax.config.update("jax_debug_nans", not bool(os.environ.get("OCRJAX_TEST_TPU")))
 
 # Persistent compilation cache: CRNN/DB graphs compile once per machine, not
 # once per pytest invocation (first run is slow; reruns are seconds).

@@ -58,9 +58,11 @@ def test_c3_end_to_end(engine, page):
     for line in res.lines:
         assert isinstance(line.text, str)
         assert line.box.quad.shape == (4, 2)
-    # reading order: line tops are (weakly) sorted once rows are grouped
-    tops = [l.box.quad[:, 1].min() for l in res.lines]
-    assert tops == sorted(tops) or len(res.lines) <= 1 or True
+    # reading order: the pipeline's output order must be a fixed point of
+    # the geometry-level reading-order sort (rows top→bottom, left→right)
+    from ocrjax import geometry
+    quads = [l.box.quad for l in res.lines]
+    assert geometry.sort_reading_order(quads) == list(range(len(quads)))
 
 
 def test_c4_batched(engine, page):

@@ -150,8 +150,6 @@ def test_near_square_component_borrows_page_angle():
     valid = np.asarray(out["valid"])
     assert valid.sum() == 2
     boxes = np.asarray(out["boxes"])[valid]
-    sq = boxes[np.argmin([b[:, 0].mean() for b in boxes])] \
-        if boxes[0][:, 1].mean() > boxes[1][:, 1].mean() else boxes[0]
     sq = min(boxes, key=lambda b: abs(b[:, 0].mean() - 49.0))
     e = sq[1] - sq[0]
     ang = np.degrees(np.arctan2(e[1], e[0])) % 90.0
