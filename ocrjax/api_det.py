@@ -48,9 +48,13 @@ class _DetState:
         # Split jits: the heavy DB graph compiles once; the box extractor
         # takes thresholds as traced scalars so config tweaks (CLI flags,
         # calibration sweeps) never trigger a recompile. Input is LUMA
-        # (B, S, S) u8 — 3x cheaper uploads; see det_normalize_gray.
+        # (B, S, S) u8 — 3x cheaper uploads than RGB (det_normalize_gray) —
+        # or (B, S, S/2) packed nibbles when cfg.upload_bits == 4 (another
+        # 2x; see preprocess.pack_nibbles). Callers upload
+        # preprocess.pack_for_upload(gray, cfg).
         @jax.jit
         def prob_fn(variables, gray_u8):
+            gray_u8 = preprocess.unpack_on_device(gray_u8, cfg)
             x = preprocess.det_normalize_gray(
                 gray_u8, cfg.det_mean, cfg.det_std)
             return self.model.apply(variables, x)["prob"]
@@ -108,13 +112,17 @@ def _det_state(engine) -> _DetState:
 
 
 def _detect_canvas(engine, image):
-    """Runs detection; returns (canvas u8, scale, candidates-on-host)."""
+    """Runs detection; returns (canvas u8, canvas-on-device [packed], scale,
+    candidates-on-host). The device canvas is the SAME buffer detection
+    consumed — downstream warps reuse it instead of re-uploading."""
     img = preprocess.load_image(image)
     canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(
         img, engine.config)
     canvas = preprocess.to_gray(canvas)
     st = _det_state(engine)
-    prob, packed = st.forward(st.variables, jnp.asarray(canvas[None]))
+    canvas_dev = jnp.asarray(
+        preprocess.pack_for_upload(canvas[None], engine.config))
+    prob, packed = st.forward(st.variables, canvas_dev)
     boxes, scores, valid = unpack_det(
         np.asarray(packed), engine.config.det_max_candidates)
     boxes, scores, valid = boxes[0], scores[0], valid[0]
@@ -122,7 +130,7 @@ def _detect_canvas(engine, image):
     cx = boxes[:, :, 0].mean(axis=1)
     cy = boxes[:, :, 1].mean(axis=1)
     valid = valid & (cx < nw) & (cy < nh)
-    return img, canvas, scale, boxes, scores, valid
+    return img, canvas, canvas_dev, scale, boxes, scores, valid
 
 
 def detect(engine, image) -> List["DetBox"]:
@@ -130,7 +138,7 @@ def detect(engine, image) -> List["DetBox"]:
     (BASELINE.json:8), reading-ordered."""
     from ocrjax.api import DetBox
 
-    _, _, scale, boxes, scores, valid = _detect_canvas(engine, image)
+    _, _, _, scale, boxes, scores, valid = _detect_canvas(engine, image)
     quads = [geometry.scale_quads(boxes[i], scale) for i in np.where(valid)[0]]
     ss = scores[valid]
     order = geometry.sort_reading_order(quads)
@@ -160,7 +168,8 @@ def ocr(engine, image, beam: bool = False,
             # valid → page may hold more lines; redo on the unbounded path
         image = img
 
-    img, canvas, scale, boxes, scores, valid = _detect_canvas(engine, image)
+    img, canvas, canvas_dev, scale, boxes, scores, valid = \
+        _detect_canvas(engine, image)
     idx = np.where(valid)[0]
     if len(idx) == 0:
         return OcrResult(lines=[])
@@ -174,7 +183,8 @@ def ocr(engine, image, beam: bool = False,
                                   beam=beam)
 
     # host decision: bucket count + strip width bucket (SURVEY.md §2.3 N13)
-    quads_canvas = boxes[idx]                                  # (n, 4, 2)
+    quads_orig_canvas = boxes[idx]                             # (n, 4, 2)
+    quads_canvas = quads_orig_canvas
     # bucket from the TIGHT det-quad aspect + refinement headroom (the ink
     # refinement rescales the band to full height — see bucketing.ocr_pages)
     est_w = _estimate_strip_widths(quads_canvas, cfg.rec_height)
@@ -192,25 +202,30 @@ def ocr(engine, image, beam: bool = False,
     if pad:
         quads_canvas = np.concatenate(
             [quads_canvas, np.tile(quads_canvas[-1:], (pad, 1, 1))], axis=0)
+        quads_orig_canvas = np.concatenate(
+            [quads_orig_canvas,
+             np.tile(quads_orig_canvas[-1:], (pad, 1, 1))], axis=0)
 
-    # gray + normalize the canvas once on device, then batched warp
-    gray = preprocess.to_gray(canvas).astype(np.float32)
-    gray = (gray / 255.0 - cfg.rec_mean) / cfg.rec_std
+    # normalize the already-uploaded (packed) canvas on device — detection's
+    # upload is reused; the warp costs zero additional link bytes
+    gray = _gray_norm_jit(canvas_dev, cfg.upload_bits,
+                          cfg.rec_mean, cfg.rec_std)[0]
     if cfg.rec_snap_to_ink:
         # two-pass: probe warp → ink-band quad refinement → full-res re-warp
         # (ops.warp.refine_quads_to_ink for why not strip-space snapping)
         h_img, w_img = img.shape[:2]
         strips, widths = warp_quads_refined(
-            jnp.asarray(gray), jnp.asarray(quads_canvas),
+            gray, jnp.asarray(quads_canvas),
             jnp.asarray([w_img - 1.0, h_img - 1.0], jnp.float32),
             rec_height=cfg.rec_height, bucket_width=bucket_w,
             ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
             margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
             x_margin_keep=cfg.rec_ink_x_margin_keep,
-            pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
+            pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
+            orig_quads=jnp.asarray(quads_orig_canvas))
     else:
         strips, widths = warp_quads(
-            jnp.asarray(gray), jnp.asarray(quads_canvas),
+            gray, jnp.asarray(quads_canvas),
             rec_height=cfg.rec_height, bucket_width=bucket_w,
             pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
 
@@ -227,6 +242,15 @@ def ocr(engine, image, beam: bool = False,
             box=DetBox(quads_orig[k], float(scores[idx[k]])),
             text=text, confidence=float(conf[k])))
     return OcrResult(lines=lines)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "mean", "std"))
+def _gray_norm_jit(packed_u8, bits: int, mean: float, std: float):
+    """Unpack (if 4-bit) + normalize an uploaded luma canvas batch on
+    device: (B, S, S[/2]) u8 → (B, S, S) float32."""
+    from ocrjax import preprocess as P
+    g = P.unpack_nibbles(packed_u8) if bits == 4 else packed_u8
+    return (g.astype(jnp.float32) / 255.0 - mean) / std
 
 
 @functools.partial(jax.jit, static_argnames=("engine", "beam"))
@@ -266,20 +290,26 @@ def unpack_rec(packed: np.ndarray, max_tokens: int):
 
 def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                    ink_thresh: int = 128, min_count: int = 2,
-                   margin_px: float = 0.0, x_margin_keep: float = 1.0):
+                   margin_left_px: float = 0.0, margin_right_px: float = 0.0,
+                   x_margin_keep: float = 1.0):
     """Host mirror of ops.warp.ink_boxes for full-res original-image crops:
     tighten an (expanded) crop window to the ink band through its vertical
     center, with pads matching the on-device refinement (~2-3 px at the
-    32-px strip scale). margin_px/x_margin_keep mirror the device refine's
+    32-px strip scale). margin_*_px/x_margin_keep mirror the device refine's
     x-window: columns deeper than keep·margin into the expansion margin
-    cannot count as ink (side-neighbor rejection)."""
+    cannot count as ink (side-neighbor rejection). Margins are per side —
+    the ACTUALLY-APPLIED expansion after page-bounds clamping, so edge
+    glyphs of lines at the page border are never masked out."""
     crop = gray[y0:y1, x0:x1]
     ink = crop < ink_thresh
-    slack = int(round(margin_px * (1.0 - x_margin_keep)))
-    if slack > 0 and crop.shape[1] > 2 * slack:
+    slack_l = int(round(margin_left_px * (1.0 - x_margin_keep)))
+    slack_r = int(round(margin_right_px * (1.0 - x_margin_keep)))
+    if (slack_l > 0 or slack_r > 0) and crop.shape[1] > slack_l + slack_r:
         ink = ink.copy()
-        ink[:, :slack] = False
-        ink[:, crop.shape[1] - slack:] = False
+        if slack_l > 0:
+            ink[:, :slack_l] = False
+        if slack_r > 0:
+            ink[:, crop.shape[1] - slack_r:] = False
     rows = ink.sum(axis=1) >= min_count
     if not rows.any():
         return crop
@@ -326,7 +356,9 @@ def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False):
             continue
         quads_orig.append(q)
         strips.append(_ink_crop_host(
-            gray, x0, y0, x1, y1, margin_px=margin,
+            gray, x0, y0, x1, y1,
+            margin_left_px=max(0.0, q[:, 0].min() - x0),
+            margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
             x_margin_keep=cfg.rec_ink_x_margin_keep)
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))

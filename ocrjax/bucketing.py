@@ -28,11 +28,6 @@ from ocrjax.ops.warp import (expand_quads, warp_quads_multi,
                              warp_quads_multi_refined)
 
 
-@jax.jit
-def _normalize_gray(gray_u8, mean, std):
-    return (gray_u8.astype(jnp.float32) / 255.0 - mean) / std
-
-
 def assign_width_buckets(est_widths: np.ndarray, buckets: Sequence[int]
                          ) -> Dict[int, np.ndarray]:
     """Group indices by the smallest bucket ≥ estimated width."""
@@ -48,40 +43,147 @@ def pad_count(n: int, cfg) -> int:
     return cfg.line_bucket_for_count(n)
 
 
+class _NullStage:
+    def stage(self, name):
+        import contextlib
+        return contextlib.nullcontext()
+
+
+def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
+                     beam: bool = False, timer=None):
+    """Pooled width-bucketed recognition over normalized device pages.
+
+    The shared engine room of C4 (ocr_pages) and C5 (tiling.ocr_tiled):
+    quads from MANY pages/tiles are expanded, ink-refine-warped and
+    recognized together in per-width-bucket programs, dispatched ahead with
+    async fetches.
+
+    gray_dev: (P, S, S) float32 normalized pages/tiles on device.
+    page_ids: (N,) int32 row into gray_dev per quad.
+    quads: (N, 4, 2) float32 page-frame quads (tight detector boxes).
+    b_all: (N, 1, 2) float32 per-quad valid (max_x, max_y) bounds.
+    Returns (texts, confs) aligned with quads.
+    """
+    from ocrjax.api_det import (_estimate_strip_widths,
+                                _rec_strips_packed_jit, unpack_rec)
+
+    cfg = engine.config
+    T = timer if timer is not None else _NullStage()
+    warp_src = quads
+    # Width estimate from the TIGHT det quads, with refinement headroom: the
+    # ink refinement rescales the ink band to full strip height, so final
+    # widths can exceed the det-quad aspect by the margin error (~25%).
+    # Estimating from the EXPANDED quads instead systematically
+    # under-buckets and truncates long lines (measured: whole-line garbage).
+    est_w = _estimate_strip_widths(quads, cfg.rec_height)
+    if cfg.rec_snap_to_ink:
+        est_w = est_w * 1.25
+    if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
+        warp_src = expand_quads(
+            quads, cfg.rec_crop_margin, cfg.rec_crop_margin, bounds=b_all)
+
+    texts = [None] * len(quads)
+    confs = [0.0] * len(quads)
+    pending = []
+    with T.stage("rec_dispatch"):
+        for bucket_w, idx in assign_width_buckets(
+                est_w, cfg.rec_width_buckets).items():
+            n = len(idx)
+            nb = pad_count(n, cfg)
+            sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
+            if cfg.rec_snap_to_ink:
+                strips, widths = warp_quads_multi_refined(
+                    gray_dev, jnp.asarray(page_ids[sel]),
+                    jnp.asarray(warp_src[sel]), jnp.asarray(b_all[sel]),
+                    rec_height=cfg.rec_height, bucket_width=bucket_w,
+                    ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
+                    margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
+                    x_margin_keep=cfg.rec_ink_x_margin_keep,
+                    pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
+                    orig_quads=jnp.asarray(quads[sel]))
+            else:
+                strips, widths = warp_quads_multi(
+                    gray_dev, jnp.asarray(page_ids[sel]),
+                    jnp.asarray(warp_src[sel]),
+                    rec_height=cfg.rec_height, bucket_width=bucket_w,
+                    pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
+            out = _rec_strips_packed_jit(engine, strips, widths, beam=beam)
+            pending.append((idx, out))
+        for _, out in pending:
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+    with T.stage("rec_fetch_decode"):
+        for idx, out in pending:
+            tokens, n_tokens, conf = unpack_rec(
+                np.asarray(out), cfg.rec_max_tokens)
+            for k, qi in enumerate(idx):
+                texts[qi] = engine.charset.decode(tokens[k][: n_tokens[k]])
+                confs[qi] = float(conf[k])
+    return texts, confs
+
+
 def ocr_pages(engine, images: Sequence, beam: bool = False
               ) -> List["OcrResult"]:
-    """C4 pooled batched OCR. Returns one OcrResult per input image."""
+    """C4 pooled batched OCR. Returns one OcrResult per input image.
+
+    Detection is CHUNKED and dispatched ahead (mirroring the fused path,
+    docs/DESIGN.md §2 "dispatch ahead, fetch late"): each chunk's packed-luma
+    upload + DB forward + candidate download is issued before any result is
+    read, so chunk k+1's upload rides the link while chunk k computes and
+    chunk k-1's candidates download. Host decode/resize of chunk k+1 is
+    interleaved between dispatches. The uploaded canvases stay on device and
+    are reused by the pooled warp — recognition costs zero extra link bytes.
+    """
     from ocrjax.api import DetBox, OcrLine, OcrResult
     from ocrjax.api_det import (_det_state, _estimate_strip_widths,
-                                _rec_strips_packed_jit, unpack_det,
-                                unpack_rec)
+                                _gray_norm_jit, _rec_strips_packed_jit,
+                                unpack_det, unpack_rec)
 
     cfg = engine.config
     B = len(images)
     if B == 0:
         return []
+    timer = getattr(engine, "stage_timer", None)
+    T = timer if timer is not None else _NullStage()
 
-    # ---- decode + canvas (host) -------------------------------------------
-    grays = np.zeros((B, cfg.det_max_side, cfg.det_max_side), np.uint8)
+    st = _det_state(engine)
+    S = cfg.det_max_side
+    C = max(1, min(cfg.fused_chunk_pages, B))
     scales = np.ones((B,), np.float64)
     valid_hw = np.zeros((B, 2), np.int64)
     ok = np.ones((B,), bool)
-    for i, image in enumerate(images):
-        try:
-            img = preprocess.load_image(image)
-            canvas, scales[i], valid_hw[i] = \
-                preprocess.det_resize_to_canvas(img, cfg)
-            grays[i] = preprocess.to_gray(canvas)
-        except Exception:  # noqa: BLE001 — per-page isolation (SURVEY.md §5)
-            ok[i] = False
 
-    # ---- one batched detection program ------------------------------------
-    # single u8 luma upload, reused by detection AND the warp below
-    grays_dev = jnp.asarray(grays)
-    st = _det_state(engine)
-    prob, packed = st.forward(st.variables, grays_dev)
-    boxes, scores, valid = unpack_det(
-        np.asarray(packed), cfg.det_max_candidates)
+    # ---- pipelined chunked detection --------------------------------------
+    chunk_devs, chunk_packed = [], []
+    for lo in range(0, B, C):
+        hi = min(lo + C, B)
+        grays = np.zeros((hi - lo, S, S), np.uint8)
+        with T.stage("host_decode"):
+            for i in range(lo, hi):
+                try:
+                    img = preprocess.load_image(images[i])
+                    canvas, scales[i], valid_hw[i] = \
+                        preprocess.det_resize_to_canvas(img, cfg)
+                    grays[i - lo] = preprocess.to_gray(canvas)
+                except Exception:  # noqa: BLE001 — per-page isolation
+                    ok[i] = False
+        with T.stage("det_dispatch"):
+            dev = jnp.asarray(preprocess.pack_for_upload(grays, cfg))
+            _, packed = st.forward(st.variables, dev)
+            try:
+                packed.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        chunk_devs.append(dev)
+        chunk_packed.append(packed)
+
+    with T.stage("det_fetch"):
+        boxes, scores, valid = unpack_det(
+            np.concatenate([np.asarray(p) for p in chunk_packed])
+            if len(chunk_packed) > 1 else np.asarray(chunk_packed[0]),
+            cfg.det_max_candidates)
     for i in range(B):
         nh, nw = valid_hw[i]
         cx = boxes[i, :, :, 0].mean(axis=1)
@@ -102,64 +204,24 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
 
     page_ids = np.asarray(page_ids, np.int32)
     quads = np.asarray(quads, np.float32)
-    warp_src = quads  # reported boxes stay the detector's, only crops expand
     # per-quad bounds = that page's valid region (never sample canvas pad)
     b_all = (valid_hw[page_ids][:, ::-1].astype(np.float32) - 1.0)[:, None, :]
-    # Width estimate from the TIGHT det quads, with refinement headroom: the
-    # ink refinement rescales the ink band to full strip height, so final
-    # widths can exceed the det-quad aspect by the margin error (~25%).
-    # Estimating from the EXPANDED quads instead systematically
-    # under-buckets and truncates long lines (measured: whole-line garbage).
-    est_w = _estimate_strip_widths(quads, cfg.rec_height)
-    if cfg.rec_snap_to_ink:
-        est_w = est_w * 1.25
-    if cfg.rec_snap_to_ink and cfg.rec_crop_margin > 0:
-        warp_src = expand_quads(
-            quads, cfg.rec_crop_margin, cfg.rec_crop_margin, bounds=b_all)
 
-    # normalize the already-uploaded luma canvases on device
-    gray_dev = _normalize_gray(grays_dev, cfg.rec_mean, cfg.rec_std)
+    # unpack + normalize the already-uploaded luma canvases on device
+    # (per chunk — reuses the chunk-shaped program — then one device concat)
+    with T.stage("warp_norm"):
+        normed = [_gray_norm_jit(d, cfg.upload_bits,
+                                 cfg.rec_mean, cfg.rec_std)
+                  for d in chunk_devs]
+        gray_dev = (jnp.concatenate(normed, axis=0) if len(normed) > 1
+                    else normed[0])
 
     # ---- per width-bucket pooled warp + recognize --------------------------
     # Dispatch every bucket's warp+rec program before reading ANY result and
     # start the host copies async: bucket k+1 computes while bucket k
     # downloads, and each bucket costs one fetch RTT instead of three.
-    texts = [None] * len(quads)
-    confs = [0.0] * len(quads)
-    pending = []
-    for bucket_w, idx in assign_width_buckets(
-            est_w, cfg.rec_width_buckets).items():
-        n = len(idx)
-        nb = pad_count(n, cfg)
-        sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
-        if cfg.rec_snap_to_ink:
-            strips, widths = warp_quads_multi_refined(
-                gray_dev, jnp.asarray(page_ids[sel]),
-                jnp.asarray(warp_src[sel]), jnp.asarray(b_all[sel]),
-                rec_height=cfg.rec_height, bucket_width=bucket_w,
-                ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
-                margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
-                x_margin_keep=cfg.rec_ink_x_margin_keep,
-                pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
-        else:
-            strips, widths = warp_quads_multi(
-                gray_dev, jnp.asarray(page_ids[sel]),
-                jnp.asarray(warp_src[sel]),
-                rec_height=cfg.rec_height, bucket_width=bucket_w,
-                pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
-        out = _rec_strips_packed_jit(engine, strips, widths, beam=beam)
-        pending.append((idx, out))
-    for _, out in pending:
-        try:
-            out.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass
-    for idx, out in pending:
-        tokens, n_tokens, conf = unpack_rec(
-            np.asarray(out), cfg.rec_max_tokens)
-        for k, qi in enumerate(idx):
-            texts[qi] = engine.charset.decode(tokens[k][: n_tokens[k]])
-            confs[qi] = float(conf[k])
+    texts, confs = recognize_pooled(
+        engine, gray_dev, page_ids, quads, b_all, beam=beam, timer=timer)
 
     # ---- scatter back, reading order per page ------------------------------
     for i in range(B):

@@ -98,6 +98,11 @@ class OcrConfig:
     # --- runtime ---
     compute_dtype: str = "bfloat16"  # MXU-native dtype for conv/matmul
     param_dtype: str = "float32"
+    upload_bits: int = 4             # luma canvas link transport: 4 = packed
+                                     # nibbles (half the upload bytes —
+                                     # congested-tunnel throughput doubles;
+                                     # 16 gray levels measured quality-
+                                     # neutral on the e2e gates), 8 = raw u8
 
     def replace(self, **kw) -> "OcrConfig":
         return dataclasses.replace(self, **kw)

@@ -51,8 +51,10 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
     def fused(det_vars, rec_vars, gray_u8, thr, valid_wh):
         """gray_u8: (B, S, S) luma canvases — single-channel upload (the
         host↔device link is the e2e bottleneck: 44 MB of RGB canvases cost
-        ~530 ms through the tunnel vs ~180 ms for luma). Detection runs on
-        luma broadcast to RGB — identical to RGB for monochrome documents;
+        ~530 ms through the tunnel vs ~180 ms for luma), or (B, S, S/2)
+        packed 4-bit nibbles when cfg.upload_bits == 4 (halves the bytes
+        again; unpacked on device right here). Detection runs on luma
+        broadcast to RGB — identical to RGB for monochrome documents;
         color-critical pages can use the bucketed path.
 
         thr: (4,) float32 [det_thresh, box_thresh, unclip_ratio,
@@ -62,6 +64,7 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         canvas — crop expansion clips against it so the warp never samples
         canvas padding (which is black and reads as ink to the snap)."""
         B = gray_u8.shape[0]
+        gray_u8 = preprocess.unpack_on_device(gray_u8, cfg)
         # ---- detection -----------------------------------------------------
         x = preprocess.det_normalize_gray(
             gray_u8, cfg.det_mean, cfg.det_std)
@@ -108,7 +111,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
                 warp_src.reshape(B * K, 4, 2), rec_height=H, bounds=flat_b,
                 ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
                 margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
-                x_margin_keep=cfg.rec_ink_x_margin_keep)
+                x_margin_keep=cfg.rec_ink_x_margin_keep,
+                orig_quads=quads.reshape(B * K, 4, 2))
             strips_bk, widths_bk = warp(
                 gray, refined.reshape(B, K, 4, 2),
                 rec_height=H, bucket_width=W, pad_value=pad_v)
@@ -216,6 +220,13 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     # k+1 runs while chunk k's upload and compute are in flight (measured
     # +20-50% batch throughput; preprocessing all pages up front left the
     # device idle for the whole decode pass).
+    import contextlib
+    timer = getattr(engine, "stage_timer", None)
+
+    def _stage(name):
+        return timer.stage(name) if timer is not None \
+            else contextlib.nullcontext()
+
     C = max(1, min(cfg.fused_chunk_pages, B))
     S = cfg.det_max_side
     scales = np.ones((B,), np.float64)
@@ -225,24 +236,28 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     for lo in range(0, B, C):
         hi = min(lo + C, B)
         grays = np.zeros((hi - lo, S, S), np.uint8)
-        for i in range(lo, hi):
-            try:
-                img = preprocess.load_image(images[i])
-                canvas, scales[i], valid_hw[i] = \
-                    preprocess.det_resize_to_canvas(img, cfg)
-                grays[i - lo] = preprocess.to_gray(canvas)
-            except Exception:  # noqa: BLE001 — per-page isolation
-                ok[i] = False
-        outs.append(fused(
-            st.variables, engine.rec_variables, jax.device_put(grays), thr,
-            valid_hw[lo:hi, ::-1].astype(np.float32)))
+        with _stage("host_decode"):
+            for i in range(lo, hi):
+                try:
+                    img = preprocess.load_image(images[i])
+                    canvas, scales[i], valid_hw[i] = \
+                        preprocess.det_resize_to_canvas(img, cfg)
+                    grays[i - lo] = preprocess.to_gray(canvas)
+                except Exception:  # noqa: BLE001 — per-page isolation
+                    ok[i] = False
+        with _stage("fused_dispatch"):
+            outs.append(fused(
+                st.variables, engine.rec_variables,
+                jax.device_put(preprocess.pack_for_upload(grays, cfg)), thr,
+                valid_hw[lo:hi, ::-1].astype(np.float32)))
     for o in outs:
         try:
             o.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-    payload = np.concatenate([np.asarray(o) for o in outs]) \
-        if len(outs) > 1 else np.asarray(outs[0])
+    with _stage("fused_fetch"):
+        payload = np.concatenate([np.asarray(o) for o in outs]) \
+            if len(outs) > 1 else np.asarray(outs[0])
     out = unpack_fused(payload, lines_per_page, cfg.rec_max_tokens)
     tokens = out["tokens"]
     n_tokens = out["n_tokens"]
@@ -252,6 +267,7 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     valid = out["valid"]
 
     results: List[OcrResult] = []
+    reroute: List[int] = []
     for i in range(B):
         if not ok[i]:
             results.append(OcrResult(lines=[]))
@@ -260,7 +276,12 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
         # AABB (measured 0.80 vs 0.93 line-exact at ±10°); pages whose
         # detected boxes tilt past the threshold re-run through the staged
         # exact-homography path. The quads are already on host, so straight
-        # pages — the common case — pay nothing.
+        # pages — the common case — pay nothing. Robustness (ADVICE r1): a
+        # single tilted box on a multi-line page is detector noise, not a
+        # rotated page — require ≥2 tilted boxes (or a single-line page
+        # whose one box tilts) before paying for the reroute; rerouted
+        # pages are collected and re-run as ONE staged batch below instead
+        # of N serial single-page pipelines.
         deg = cfg.fused_rotation_reroute_deg
         if deg > 0:
             vq = quads[i][valid[i]]
@@ -268,10 +289,10 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                 e = vq[:, 1] - vq[:, 0]
                 a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 90.0
                 tilt = np.minimum(a, 90.0 - a)
-                if float(tilt.max()) > deg:
-                    from ocrjax import api_det
-                    results.append(api_det.ocr(
-                        engine, images[i], beam=beam, force_staged=True))
+                n_tilted = int((tilt > deg).sum())
+                if n_tilted >= 2 or (len(vq) == 1 and n_tilted == 1):
+                    reroute.append(i)
+                    results.append(None)  # placeholder, filled below
                     continue
         nh, nw = valid_hw[i]
         lines = []
@@ -293,4 +314,21 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
         # all K slots valid means the page may hold more lines than K
         results.append(OcrResult(
             lines=lines, truncated=bool(valid[i].sum() >= lines_per_page)))
+
+    if reroute:
+        # one pooled staged batch for all rotated pages: exact-homography
+        # rectification via the bucketed path (same pipeline C4 uses).
+        # Downscaled pages keep the staged single-page path — it recognizes
+        # from the full-res ORIGINAL image (api_det._ocr_from_original),
+        # which the canvas-based bucketed path cannot.
+        from ocrjax import api_det, bucketing
+        pooled = [i for i in reroute if scales[i] >= 0.999]
+        staged = bucketing.ocr_pages(
+            engine, [images[i] for i in pooled], beam=beam)
+        for i, res in zip(pooled, staged):
+            results[i] = res
+        for i in reroute:
+            if scales[i] < 0.999:
+                results[i] = api_det.ocr(engine, images[i], beam=beam,
+                                         force_staged=True)
     return results

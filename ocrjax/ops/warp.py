@@ -380,14 +380,35 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     return x0 - pad_x, y0 - pad_y, x1 + pad_x, y1 + pad_y, ok
 
 
-def _ink_x_window(widths, m_strip, keep: float):
+def _ink_x_window(widths, m_left, m_right, keep: float):
     """Allowed ink-column window for the refines: the unexpanded det box
-    starts m_strip strip-px in from each side; ink may extend keep·m_strip
-    beyond it. keep=1 admits the whole expansion margin (neighbor-leak
-    prone); keep≈0.5 still recovers clipped glyph slivers while rejecting
-    side-neighbor ink (calibrated in tests/test_tpu e2e gates)."""
-    slack = m_strip * (1.0 - keep)
-    return slack, widths.astype(jnp.float32) - 1.0 - slack
+    starts m_left/m_right strip-px in from each side; ink may extend
+    keep·margin beyond it. keep=1 admits the whole expansion margin
+    (neighbor-leak prone); keep≈0.5 still recovers clipped glyph slivers
+    while rejecting side-neighbor ink (calibrated in tests/test_tpu e2e
+    gates). Margins are PER SIDE: expand_quads clamps against page bounds,
+    so a line at the page edge has a smaller applied margin there — masking
+    the nominal margin would swallow genuine edge-glyph columns."""
+    return (m_left * (1.0 - keep),
+            widths.astype(jnp.float32) - 1.0 - m_right * (1.0 - keep))
+
+
+def _applied_x_margins(exp_quads, orig_quads):
+    """Per-side expansion margins actually applied, in page px: the original
+    quad's left/right edge midpoints projected onto the expanded quad's
+    x-direction, measured from the expanded edges. Clamping (expand_quads
+    bounds) shows up here as a reduced margin on the clamped side."""
+    right = (exp_quads[:, 1] + exp_quads[:, 2]) \
+        - (exp_quads[:, 0] + exp_quads[:, 3])
+    wlen = jnp.sqrt(jnp.maximum((right * right).sum(-1), 1e-12))
+    ex = right / wlen[:, None]                               # unit x dir
+    ml_o = (orig_quads[:, 0] + orig_quads[:, 3]) * 0.5       # left edge mid
+    ml_e = (exp_quads[:, 0] + exp_quads[:, 3]) * 0.5
+    mr_o = (orig_quads[:, 1] + orig_quads[:, 2]) * 0.5       # right edge mid
+    mr_e = (exp_quads[:, 1] + exp_quads[:, 2]) * 0.5
+    m_left = jnp.maximum(((ml_o - ml_e) * ex).sum(-1), 0.0)
+    m_right = jnp.maximum(((mr_e - mr_o) * ex).sum(-1), 0.0)
+    return m_left, m_right
 
 
 def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
@@ -395,7 +416,8 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                         ink_thresh: float = 0.0, min_count: int = 2,
                         pad_y: float = 2.0, pad_x: float = 3.0,
                         bounds=None, margin_fracs=None,
-                        x_margin_keep: float = 1.0) -> jnp.ndarray:
+                        x_margin_keep: float = 1.0,
+                        orig_quads=None) -> jnp.ndarray:
     """Two-pass warp refinement, homography variant (warp_quads/_multi).
 
     Pass 1 warps an EXPANDED detection quad (see expand_quads) into a probe
@@ -408,19 +430,27 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     strips/widths: pass-1 output for `quads`. margin_fracs: the (frac_y,
     frac_x) the quads were expanded by — with x_margin_keep < 1 this bounds
     how far the ink band may reach into the expansion margin (see
-    _ink_x_window). Returns refined quads; strips with no detectable ink
-    keep their original quad.
+    _ink_x_window). orig_quads (the pre-expansion detection quads, when
+    available) makes that window use the ACTUALLY-APPLIED per-side margins,
+    so page-edge lines whose expansion was clamped keep their edge glyphs.
+    Returns refined quads; strips with no detectable ink keep their
+    original quad.
     """
     N, H, W = strips.shape
     x_lo = x_hi = None
     if margin_fracs is not None and x_margin_keep < 1.0:
         fy, fx = margin_fracs
         w_exp = jnp.sqrt(jnp.sum((quads[:, 1] - quads[:, 0]) ** 2, -1))
-        h_exp = jnp.sqrt(jnp.sum((quads[:, 3] - quads[:, 0]) ** 2, -1))
-        h_orig = h_exp / (1.0 + 2.0 * fy)
-        m_strip = fx * h_orig * (widths.astype(jnp.float32) - 1.0) \
+        to_strip = (widths.astype(jnp.float32) - 1.0) \
             / jnp.maximum(w_exp, 1.0)
-        x_lo, x_hi = _ink_x_window(widths, m_strip, x_margin_keep)
+        if orig_quads is not None:
+            m_l, m_r = _applied_x_margins(quads, orig_quads)
+            m_l, m_r = m_l * to_strip, m_r * to_strip
+        else:
+            h_exp = jnp.sqrt(jnp.sum((quads[:, 3] - quads[:, 0]) ** 2, -1))
+            h_orig = h_exp / (1.0 + 2.0 * fy)
+            m_l = m_r = fx * h_orig * to_strip
+        x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
     x0, y0, x1, y1, ok = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
         pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi)
@@ -444,10 +474,11 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                        ink_thresh: float = 0.0, min_count: int = 2,
                        pad_y: float = 2.0, pad_x: float = 3.0,
                        bounds=None, margin_fracs=None,
-                       x_margin_keep: float = 1.0) -> jnp.ndarray:
+                       x_margin_keep: float = 1.0,
+                       orig_quads=None) -> jnp.ndarray:
     """Two-pass refinement, AABB variant (matches warp_quads_separable's
     linear strip↔page mapping). quads (N, 4, 2) → refined RECT quads.
-    margin_fracs/x_margin_keep: see refine_quads_to_ink."""
+    margin_fracs/x_margin_keep/orig_quads: see refine_quads_to_ink."""
     N, H, W = strips.shape
     xa = quads[..., 0].min(axis=-1)
     xb = quads[..., 0].max(axis=-1)
@@ -458,9 +489,17 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     x_lo = x_hi = None
     if margin_fracs is not None and x_margin_keep < 1.0:
         fy, fx = margin_fracs
-        h_orig = (yb - ya) / (1.0 + 2.0 * fy)
-        m_strip = fx * h_orig / jnp.maximum(sx, 1e-6)
-        x_lo, x_hi = _ink_x_window(widths, m_strip, x_margin_keep)
+        if orig_quads is not None:
+            m_l = jnp.maximum(
+                orig_quads[..., 0].min(axis=-1) - xa, 0.0) \
+                / jnp.maximum(sx, 1e-6)
+            m_r = jnp.maximum(
+                xb - orig_quads[..., 0].max(axis=-1), 0.0) \
+                / jnp.maximum(sx, 1e-6)
+        else:
+            h_orig = (yb - ya) / (1.0 + 2.0 * fy)
+            m_l = m_r = fx * h_orig / jnp.maximum(sx, 1e-6)
+        x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
     xs0, ys0, xs1, ys1, ok = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
         pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi)
@@ -524,7 +563,7 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
 def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
                        bucket_width: int = 320, ink_thresh: float = 0.0,
                        margin_fracs=None, x_margin_keep: float = 1.0,
-                       pad_value: float = 0.0
+                       pad_value: float = 0.0, orig_quads=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads: probe → ink-band refine → full-res re-warp.
 
@@ -532,7 +571,7 @@ def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
     inside the probe. bounds: (2,) or (N, 1, 2) page-valid (max_x, max_y).
     ink_thresh: normalized value below which a pixel is ink — for a page
     normalized as (luma/255 - mean)/std that is (0.5 - mean)/std.
-    margin_fracs/x_margin_keep: see refine_quads_to_ink.
+    margin_fracs/x_margin_keep/orig_quads: see refine_quads_to_ink.
     """
     strips, widths = warp_quads(
         page, quads, rec_height=rec_height, bucket_width=bucket_width,
@@ -540,7 +579,7 @@ def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
     refined = refine_quads_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
-        x_margin_keep=x_margin_keep)
+        x_margin_keep=x_margin_keep, orig_quads=orig_quads)
     return warp_quads(
         page, refined, rec_height=rec_height, bucket_width=bucket_width,
         pad_value=pad_value)
@@ -552,7 +591,7 @@ def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
                              rec_height: int = 32, bucket_width: int = 320,
                              ink_thresh: float = 0.0,
                              margin_fracs=None, x_margin_keep: float = 1.0,
-                             pad_value: float = 0.0
+                             pad_value: float = 0.0, orig_quads=None
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi (pooled strips from a page batch)."""
     strips, widths = warp_quads_multi(
@@ -562,7 +601,7 @@ def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
     refined = refine_quads_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
-        x_margin_keep=x_margin_keep)
+        x_margin_keep=x_margin_keep, orig_quads=orig_quads)
     return warp_quads_multi(
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width,

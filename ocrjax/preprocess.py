@@ -109,6 +109,59 @@ def pad_strips_to_bucket(
 
 
 # ---------------------------------------------------------------------------
+# Link transport packing (uint8 luma ↔ packed 4-bit nibbles)
+# ---------------------------------------------------------------------------
+# The host↔device tunnel in this environment has multi-minute congestion
+# episodes where bandwidth drops ~50x (docs/DESIGN.md §2); upload bytes are
+# then the end-to-end bottleneck. 4-bit luma halves them: text documents are
+# high-contrast, and 16 gray levels preserve both DB prob maps and CRNN
+# decodes (parity asserted in tests/test_preprocess.py; e2e gates in
+# tests/test_tpu.py run the packed path). Pack on host, unpack on device.
+
+def pack_nibbles(gray: np.ndarray) -> np.ndarray:
+    """uint8 luma (..., W) → packed (..., W/2): two 4-bit pixels per byte.
+
+    Quantization rounds to the nearest of 17*{0..15} (the device unpack
+    multiplies by 17, so round-trip error is ≤ 8 gray levels).
+    """
+    if gray.shape[-1] % 2:
+        raise ValueError(f"width must be even to pack, got {gray.shape}")
+    q = np.minimum(
+        (gray.astype(np.uint16) + 8) // 17, 15).astype(np.uint8)
+    return (q[..., 0::2] << 4) | q[..., 1::2]
+
+
+def unpack_nibbles_host(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_nibbles (test/parity use)."""
+    hi = (packed >> 4) * np.uint8(17)
+    lo = (packed & 0xF) * np.uint8(17)
+    return np.stack([hi, lo], axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * 2,))
+
+
+def unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device inverse of pack_nibbles: (..., W/2) u8 → (..., W) u8.
+
+    Runs inside the consuming jit program (fused/bucketed/detect paths), so
+    the only link cost is the halved packed payload.
+    """
+    hi = (packed >> 4) * jnp.uint8(17)
+    lo = (packed & 0xF) * jnp.uint8(17)
+    return jnp.stack([hi, lo], axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * 2,))
+
+
+def pack_for_upload(gray: np.ndarray, cfg: OcrConfig) -> np.ndarray:
+    """Apply the configured link transport packing to uint8 luma."""
+    return pack_nibbles(gray) if cfg.upload_bits == 4 else gray
+
+
+def unpack_on_device(arr: jnp.ndarray, cfg: OcrConfig) -> jnp.ndarray:
+    """Device-side inverse of pack_for_upload."""
+    return unpack_nibbles(arr) if cfg.upload_bits == 4 else arr
+
+
+# ---------------------------------------------------------------------------
 # Device: fused normalize/layout (jit, static shapes)
 # ---------------------------------------------------------------------------
 

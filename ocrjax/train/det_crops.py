@@ -17,6 +17,7 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
+from ocrjax import preprocess
 from ocrjax.charset import Charset
 from ocrjax.train import synth
 
@@ -60,7 +61,8 @@ def generate_det_crops(engine, n_pages: int = 256, seed: int = 17,
             grays[i] = page
             gt.append((quads, texts))
 
-        prob, packed = st.forward(st.variables, jnp.asarray(grays))
+        prob, packed = st.forward(st.variables, jnp.asarray(
+            preprocess.pack_for_upload(grays, cfg)))
         boxes, scores, valid = unpack_det(
             np.asarray(packed), cfg.det_max_candidates)
 

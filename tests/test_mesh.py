@@ -116,14 +116,16 @@ def test_sharded_fused_ocr_matches_unsharded():
                      np.float32)
     valid_wh = np.full((B, 2), float(S), np.float32)
 
+    from ocrjax import preprocess
+    grays_up = preprocess.pack_for_upload(grays, cfg)
     single = F.make_fused_ocr_fn(eng, 4, cfg.rec_width_buckets[-1])
     ref = np.asarray(single(st.variables, eng.rec_variables,
-                            jnp.asarray(grays), thr, valid_wh))
+                            jnp.asarray(grays_up), thr, valid_wh))
 
     sharded = M.make_sharded_fused_ocr_fn(eng, m, 4,
                                           cfg.rec_width_buckets[-1])
     got = np.asarray(sharded(st.variables, eng.rec_variables,
-                             M.shard_batch(m, grays), thr,
+                             M.shard_batch(m, grays_up), thr,
                              M.shard_batch(m, valid_wh)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -80,3 +80,35 @@ def test_det_normalize_imagenet():
     np.testing.assert_allclose(
         out[0, 0, 0], (1.0 - np.array([0.485, 0.456, 0.406])) /
         np.array([0.229, 0.224, 0.225]), rtol=1e-5)
+
+
+def test_nibble_pack_roundtrip():
+    """4-bit link packing: device unpack inverts host pack within the
+    quantization step (≤ 8 gray levels), exactly on 17-multiples."""
+    import jax.numpy as jnp
+
+    from ocrjax import preprocess
+
+    rng = np.random.RandomState(0)
+    g = rng.randint(0, 256, (2, 8, 16), dtype=np.uint8)
+    packed = preprocess.pack_nibbles(g)
+    assert packed.shape == (2, 8, 8) and packed.dtype == np.uint8
+    back_h = preprocess.unpack_nibbles_host(packed)
+    back_d = np.asarray(preprocess.unpack_nibbles(jnp.asarray(packed)))
+    np.testing.assert_array_equal(back_h, back_d)
+    assert np.abs(back_h.astype(int) - g.astype(int)).max() <= 8
+
+    exact = (np.arange(16, dtype=np.uint8) * 17).reshape(1, 1, 16)
+    np.testing.assert_array_equal(
+        preprocess.unpack_nibbles_host(preprocess.pack_nibbles(exact)), exact)
+
+
+def test_pack_for_upload_respects_config():
+    from ocrjax import preprocess
+    from ocrjax.config import OcrConfig
+
+    g = np.zeros((1, 4, 8), np.uint8)
+    cfg8 = OcrConfig(upload_bits=8)
+    cfg4 = OcrConfig(upload_bits=4)
+    assert preprocess.pack_for_upload(g, cfg8).shape == (1, 4, 8)
+    assert preprocess.pack_for_upload(g, cfg4).shape == (1, 4, 4)

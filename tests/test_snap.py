@@ -106,3 +106,38 @@ def test_expand_quads_rotated_keeps_orientation():
     d_orig = np.linalg.norm(q[0, 3] - q[0, 0])
     d_new = np.linalg.norm(e[0, 3] - e[0, 0])
     assert np.isclose(d_new, d_orig + 4.0, atol=1e-3)
+
+
+def test_refine_x_window_uses_applied_margins_at_page_edge():
+    """A line at the page's left edge: expand_quads clamps the expansion, so
+    the applied left margin is ~0. The refine's ink x-window must use the
+    APPLIED margin (orig_quads), not the nominal one — otherwise genuine
+    leading-glyph columns are masked as 'side-neighbor slack' and the glyph
+    is cropped away (ADVICE r1: ops/warp.py edge-slack)."""
+    import jax.numpy as jnp
+
+    from ocrjax.ops.warp import expand_quads, refine_aabb_to_ink
+
+    H, W = 32, 96
+    # ink from column 0 (glyph at the very edge) to column 40
+    strip = jnp.full((1, H, W), 1.0)
+    strip = strip.at[:, 10:22, 0:40].set(-1.0)
+    widths = jnp.asarray([72], jnp.int32)
+
+    # original det box starts at page x=0; expansion clamps left at 0
+    orig = jnp.asarray([[[0.0, 10.0], [60.0, 10.0],
+                         [60.0, 30.0], [0.0, 30.0]]], jnp.float32)
+    fy = fx = 0.5  # large margins make the nominal slack big
+    exp = expand_quads(orig, fy, fx, bounds=jnp.asarray([200.0, 200.0]))
+    assert float(exp[0, 0, 0]) == 0.0  # left clamped
+
+    kw = dict(rec_height=H, ink_thresh=0.0, margin_fracs=(fy, fx),
+              x_margin_keep=0.0, pad_x=0.0, pad_y=0.0)
+    refined_nominal = refine_aabb_to_ink(strip, widths, exp, **kw)
+    refined_applied = refine_aabb_to_ink(strip, widths, exp,
+                                         orig_quads=orig, **kw)
+
+    # applied-margin window keeps the edge ink: refined box reaches x≈0
+    assert float(refined_applied[0, :, 0].min()) <= 1.0
+    # the nominal window (old behavior) masks the leading columns
+    assert float(refined_nominal[0, :, 0].min()) > 2.0
