@@ -177,6 +177,23 @@ class OcrEngine:
         from ocrjax import api_det
         return api_det.detect_tiled(self, image)
 
+    def ocr_tiled(self, image: ImageLike, beam: bool = False) -> OcrResult:
+        """C5 end-to-end: tiled detection at tile_size px + pooled
+        ink-refined recognition from the tiles (BASELINE.json:11)."""
+        from ocrjax import tiling
+        return tiling.ocr_tiled(self, image, beam=beam)
+
+    def ocr_tiled_batch(self, images: Sequence[ImageLike],
+                        beam: bool = False) -> List[OcrResult]:
+        """Multi-page C5 driver with per-page error isolation."""
+        out = []
+        for image in images:
+            try:
+                out.append(self.ocr_tiled(image, beam=beam))
+            except (FileNotFoundError, ValueError):
+                out.append(OcrResult(lines=[]))
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Module-level convenience (default engine, built on first use)

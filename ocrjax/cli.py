@@ -235,29 +235,9 @@ def _emit(args, out) -> None:
 
 
 def _ocr_tiled(engine, path, beam=False):
-    """C5 end-to-end: tiled detect, then recognize crops from the original
-    image at full resolution (no canvas downscale for recognition)."""
-    from ocrjax import preprocess
-    from ocrjax.api import OcrLine, OcrResult
+    """C5 end-to-end — thin alias of the API path (tiling.ocr_tiled)."""
+    return engine.ocr_tiled(path, beam=beam)
 
-    boxes = engine.detect_tiled(path)
-    if not boxes:
-        return OcrResult(lines=[])
-    img = preprocess.to_gray(preprocess.load_image(path))
-    strips = []
-    for b in boxes:
-        x0 = int(max(0, np.floor(b.quad[:, 0].min())))
-        x1 = int(min(img.shape[1], np.ceil(b.quad[:, 0].max()) + 1))
-        y0 = int(max(0, np.floor(b.quad[:, 1].min())))
-        y1 = int(min(img.shape[0], np.ceil(b.quad[:, 1].max()) + 1))
-        strips.append(img[y0:y1, x0:x1])
-    rs = engine.recognize_strips(strips, beam=beam)
-    return OcrResult(lines=[
-        OcrLine(box=b, text=r.text, confidence=r.confidence)
-        for b, r in zip(boxes, rs)])
-
-
-import numpy as np  # noqa: E402  (used by _ocr_tiled)
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -139,3 +139,25 @@ def test_c4_fused_beam_matches_bucketed_beam(engine, page):
     fusedr = engine.ocr_batch([img], beam=True, fused=True)
     assert [l.text for l in fusedr[0].lines] == \
         [l.text for l in bucketed[0].lines]
+
+
+def test_c5_ocr_tiled_api(engine):
+    """C5 end-to-end as an API citizen: engine.ocr_tiled runs tiled
+    detection + pooled tile-based recognition, returns lines with texts,
+    confidences and in-page boxes; the multi-page driver isolates errors."""
+    rng = np.random.RandomState(9)
+    img, quads, _ = render_page(rng, default_charset(), size=(400, 400))
+    img3 = np.repeat(img[..., None], 3, axis=2)
+    res = engine.ocr_tiled(img3)
+    assert isinstance(res, OcrResult)
+    for line in res.lines:
+        assert isinstance(line.text, str)
+        assert 0.0 <= line.confidence <= 1.0
+        assert line.box.quad[:, 0].max() < 400
+        assert line.box.quad[:, 1].max() < 400
+
+    # multi-page driver: bad page isolated, good pages processed
+    out = engine.ocr_tiled_batch([img3, "/nonexistent/page.png", img3])
+    assert len(out) == 3
+    assert out[1].lines == []
+    assert len(out[0].lines) == len(res.lines)

@@ -105,12 +105,12 @@ def test_rotated_pages_e2e_on_tpu():
 
 
 def test_c5_tiled_e2e_on_tpu():
-    """C5 on hardware: 2048px page → tiled detect → full-res recognize.
+    """C5 on hardware: 2048px page → tiled detect → pooled tile-based
+    ink-refined recognition (engine.ocr_tiled — the API path).
     Regression for the Pallas-CCL VMEM ceiling: the 512² tile coarse grid
     must route to the XLA scans (the whole-grid kernel's scoped stack peaks
     ~156 B/cell and overflows the 16 MB limit — measured 39 MB)."""
     from ocrjax.api import OcrEngine
-    from ocrjax.cli import _ocr_tiled
     from ocrjax.train import synth
 
     eng = OcrEngine.from_pretrained()
@@ -118,7 +118,7 @@ def test_c5_tiled_e2e_on_tpu():
     page, quads, texts = synth.render_page(
         rng, eng.charset, size=(2048, 2048), n_lines=(12, 16), max_len=12)
     img = np.repeat(page[..., None], 3, axis=2)
-    res = _ocr_tiled(eng, img)
+    res = eng.ocr_tiled(img)
     preds = [l.text for l in res.lines]
     rem = list(texts)
     exact = 0
@@ -127,4 +127,6 @@ def test_c5_tiled_e2e_on_tpu():
             rem.remove(p)
             exact += 1
     assert len(preds) >= len(texts) - 1, (len(preds), len(texts))
-    assert exact / len(texts) >= 0.7, (exact, len(texts), rem)
+    # same quality class as the single-page gates now that C5 recognition
+    # runs the pooled refined-warp path (was 0.70 with host AABB crops)
+    assert exact / len(texts) >= 0.85, (exact, len(texts), rem)
