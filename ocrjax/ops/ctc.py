@@ -103,23 +103,23 @@ def ctc_greedy_decode(
 # Beam search
 # ---------------------------------------------------------------------------
 
-_HASH_MUL = jnp.uint32(2654435761)  # Knuth multiplicative hash step
-
 
 def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
     """One frame of batched CTC prefix beam search.
 
-    Beams are fixed-size arrays; a prefix is represented by its rolling hash
-    (uint32) so that equal prefixes can be merged without materializing
-    variable-length strings on device. Per beam we track:
+    Beams are fixed-size arrays; prefix identity for the merge is the EXACT
+    (toks, len) buffer comparison — collision-free by construction (an
+    earlier design used a uint32 rolling hash, whose collisions across the
+    K×V extend set could silently merge distinct prefixes; the exact
+    compare costs only O(K²·L) boolean ops per frame and removes the
+    failure class). Per beam we track:
       p_b   — log prob of the prefix ending in blank,
       p_nb  — log prob ending in non-blank,
       last  — last emitted token id,
-      hash  — rolling hash of the prefix,
       toks  — (max_tokens,) emitted ids, len — emitted count.
     """
-    p_b, p_nb, last, phash, toks, lens = state
-    logp, t_valid = inputs                                     # (K? no: (V,), scalar bool)
+    p_b, p_nb, last, toks, lens = state
+    logp, t_valid = inputs                                     # (V,), scalar bool
     K = beam_width
     V = vocab
     NEG = jnp.float32(-1e30)
@@ -131,7 +131,7 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
         stay_pb = p_tot + logp[blank]                          # (K,)
         last_lp = logp[last]                                   # (K,) logp of last char
         stay_pnb = p_nb + last_lp                              # repeat w/o gap
-        # staying keeps prefix identity: hash/last/toks unchanged.
+        # staying keeps prefix identity: last/toks/len unchanged.
 
         # --- candidate 2: extend with char c (c != blank) -------------------
         # extending with c == last requires a preceding blank: from p_b only.
@@ -140,15 +140,33 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
                              p_b[:, None], p_tot[:, None])     # (K, V)
         ext_pnb = ext_base + logp[None, :]                     # (K, V)
         ext_pnb = jnp.where(char_ids == blank, NEG, ext_pnb)
-        new_hash = phash[:, None] * _HASH_MUL + char_ids.astype(jnp.uint32) + 1
 
         # --- merge: only stay×extend collisions are possible ----------------
         # Two extends produce equal prefixes only if their parent beams were
         # equal (excluded by invariant), so the classic O(N^2) prefix merge
-        # reduces to matching the K*V extend hashes against the K stay
-        # hashes: the extend's mass flows into the stay's p_nb and the
-        # extend is disabled.
-        match = new_hash[:, :, None] == phash[None, None, :]   # (K, V, K)
+        # reduces to matching each extend (parent k, char v) against the K
+        # stay beams j. Exact prefix identity: len_j == len_k + 1, the
+        # first len_k tokens agree, and stay j's token at slot len_k is v.
+        # The extend's mass then flows into the stay's p_nb and the extend
+        # is disabled. (Beams whose prefix overflowed the L-token buffer
+        # compare by their first L tokens — production L=rec_max_tokens is
+        # sized above any reachable sequence length.)
+        L = toks.shape[1]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (K, L), 1)   # (K, L)
+        prefix_mask = slot < lens[:, None]                      # (K, L) of k
+        # (k, j): do stay j's first len_k tokens equal parent k's?
+        prefix_eq = jnp.all(
+            (toks[:, None, :] == toks[None, :, :]) | ~prefix_mask[:, None, :],
+            axis=-1)                                            # (K, K)
+        len_ok = (lens[:, None] + 1) == lens[None, :]           # (K, K)
+        # stay j's token at slot len_k (garbage where len_k >= len_j, but
+        # len_ok gates those): (K, K)
+        at_lenk = jnp.take_along_axis(
+            jnp.broadcast_to(toks[None, :, :], (K, K, L)),
+            jnp.clip(lens, 0, L - 1)[:, None, None], axis=2)[..., 0]
+        kj_ok = prefix_eq & len_ok                              # (K, K)
+        match = (kj_ok[:, None, :]
+                 & (at_lenk[:, None, :] == char_ids[..., None]))  # (K, V, K)
         ext_into_stay = jnp.where(
             jnp.reshape(match, (K * V, K)),
             jnp.reshape(ext_pnb, (K * V,))[:, None], NEG)      # (K*V, K)
@@ -162,7 +180,6 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
             [jnp.logaddexp(stay_pb, stay_pnb), jnp.reshape(ext_pnb, (K * V,))])
         cand_pb = jnp.concatenate([stay_pb, jnp.full((K * V,), NEG)])
         cand_pnb = jnp.concatenate([stay_pnb, jnp.reshape(ext_pnb, (K * V,))])
-        cand_hash = jnp.concatenate([phash, jnp.reshape(new_hash, (K * V,))])
         cand_last = jnp.concatenate([last, jnp.reshape(char_ids, (K * V,))])
         cand_src = jnp.concatenate([
             jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1),
@@ -175,7 +192,6 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
         top_score, top_i = jax.lax.top_k(cand_score, K)
         n_pb = cand_pb[top_i]
         n_pnb = cand_pnb[top_i]
-        n_hash = cand_hash[top_i]
         n_last = cand_last[top_i]
         src = cand_src[top_i]
         is_ext = cand_is_ext[top_i]
@@ -183,15 +199,14 @@ def _beam_step(state, inputs, *, beam_width: int, blank: int, vocab: int):
         # --- update token buffers --------------------------------------------
         n_toks = toks[src]                                     # (K, L)
         n_len = lens[src]
-        L = toks.shape[1]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (K, L), 1)
-        write = is_ext[:, None] & (slot == n_len[:, None]) & (n_len[:, None] < L)
+        wslot = jax.lax.broadcasted_iota(jnp.int32, (K, L), 1)
+        write = is_ext[:, None] & (wslot == n_len[:, None]) & (n_len[:, None] < L)
         n_toks = jnp.where(write, n_last[:, None], n_toks)
         n_len = jnp.where(is_ext & (n_len < L), n_len + 1, n_len)
-        return n_pb, n_pnb, n_last, n_hash, n_toks, n_len
+        return n_pb, n_pnb, n_last, n_toks, n_len
 
     new_state = jax.lax.cond(
-        t_valid, expand, lambda: (p_b, p_nb, last, phash, toks, lens))
+        t_valid, expand, lambda: (p_b, p_nb, last, toks, lens))
     return new_state, None
 
 
@@ -216,24 +231,19 @@ def ctc_beam_decode(
     NEG = jnp.float32(-1e30)
 
     def one_seq(seq_logp, length):
-        # init: single empty beam (slot 0), rest disabled.
+        # init: single empty beam (slot 0), rest disabled (NEG mass; their
+        # zero-length prefixes can never satisfy the merge's len_j==len_k+1)
         p_b = jnp.full((K,), NEG).at[0].set(0.0)
         p_nb = jnp.full((K,), NEG)
         last = jnp.full((K,), -1, jnp.int32)
-        phash = jnp.concatenate([
-            jnp.zeros((1,), jnp.uint32),
-            # distinct junk hashes so disabled beams never merge with real ones
-            (jax.lax.broadcasted_iota(jnp.uint32, (K - 1, 1), 0).squeeze(-1)
-             + jnp.uint32(0xDEAD0001)),
-        ])
         toks = jnp.zeros((K, L), jnp.int32)
         lens = jnp.zeros((K,), jnp.int32)
         t_valid = (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1)
                    < length)
         step = functools.partial(
             _beam_step, beam_width=K, blank=blank, vocab=V)
-        (p_b, p_nb, last, phash, toks, lens), _ = jax.lax.scan(
-            step, (p_b, p_nb, last, phash, toks, lens), (seq_logp, t_valid))
+        (p_b, p_nb, last, toks, lens), _ = jax.lax.scan(
+            step, (p_b, p_nb, last, toks, lens), (seq_logp, t_valid))
         score = jnp.logaddexp(p_b, p_nb)
         best = jnp.argmax(score)
         conf = jnp.exp(score[best] / jnp.maximum(lens[best], 1))
