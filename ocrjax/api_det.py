@@ -111,14 +111,16 @@ def _det_state(engine) -> _DetState:
     return engine._det
 
 
-def _detect_canvas(engine, image):
+def _detect_canvas(engine, image, gray_fn=None):
     """Runs detection; returns (canvas u8, canvas-on-device [packed], scale,
     candidates-on-host). The device canvas is the SAME buffer detection
-    consumed — downstream warps reuse it instead of re-uploading."""
+    consumed — downstream warps reuse it instead of re-uploading.
+    gray_fn: RGB→luma projection (default 601 luma; the color reroute
+    passes preprocess.to_gray_minchannel)."""
     img = preprocess.load_image(image)
     canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(
         img, engine.config)
-    canvas = preprocess.to_gray(canvas)
+    canvas = (gray_fn or preprocess.to_gray)(canvas)
     st = _det_state(engine)
     canvas_dev = jnp.asarray(
         preprocess.pack_for_upload(canvas[None], engine.config))
@@ -146,13 +148,18 @@ def detect(engine, image) -> List["DetBox"]:
 
 
 def ocr(engine, image, beam: bool = False,
-        force_staged: bool = False) -> "OcrResult":
+        force_staged: bool = False, color: bool = False) -> "OcrResult":
     """C3: detect → batched on-device warp → recognize → ordered text
     (BASELINE.json:9). force_staged skips the fused fast path (used by the
-    fused path's rotation reroute — see fused.ocr_pages_fused)."""
+    fused path's rotation reroute — see fused.ocr_pages_fused). color=True
+    runs the whole staged pipeline over MIN-CHANNEL luma so saturated
+    colored ink keeps its contrast (the fused path's color reroute)."""
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
+    gray_fn = preprocess.to_gray_minchannel if color else preprocess.to_gray
+    if color:
+        force_staged = True
     if cfg.ocr_single_fused and not force_staged:
         img = preprocess.load_image(image)
         if max(img.shape[:2]) <= cfg.det_max_side:
@@ -160,16 +167,14 @@ def ocr(engine, image, beam: bool = False,
             # RTTs) instead of the ~6 syncs of the staged path below. Only
             # for pages that fit the canvas un-downscaled (downscaled pages
             # recognize from full-res original crops, see below).
+            # Saturated line capacity and tilted pages are redone on the
+            # unbounded/exact paths INSIDE ocr_pages_fused.
             from ocrjax import fused as F
-            res = F.ocr_pages_fused(engine, [img], beam=beam)[0]
-            if not res.truncated:
-                return res
-            # all line slots of the fused program's static capacity were
-            # valid → page may hold more lines; redo on the unbounded path
+            return F.ocr_pages_fused(engine, [img], beam=beam)[0]
         image = img
 
     img, canvas, canvas_dev, scale, boxes, scores, valid = \
-        _detect_canvas(engine, image)
+        _detect_canvas(engine, image, gray_fn=gray_fn)
     idx = np.where(valid)[0]
     if len(idx) == 0:
         return OcrResult(lines=[])
@@ -180,7 +185,7 @@ def ocr(engine, image, beam: bool = False,
         # (axis-aligned hull crops; arbitrary page sizes would otherwise
         # force a warp recompile per page shape).
         return _ocr_from_original(engine, img, scale, boxes, scores, idx,
-                                  beam=beam)
+                                  beam=beam, gray_fn=gray_fn)
 
     # host decision: bucket count + strip width bucket (SURVEY.md §2.3 N13)
     quads_orig_canvas = boxes[idx]                             # (n, 4, 2)
@@ -334,14 +339,15 @@ def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                 max(0, int(xs.min()) - pad_x):int(xs.max()) + 1 + pad_x]
 
 
-def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False):
+def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
+                       gray_fn=None):
     """Full-resolution recognition for downscaled pages: axis-aligned hull
     crops from the original image → recognize_strips (bucketed)."""
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
     h, w = img.shape[:2]
-    gray = preprocess.to_gray(img)
+    gray = (gray_fn or preprocess.to_gray)(img)
     quads_orig, strips, ss = [], [], []
     for i in idx:
         q = geometry.scale_quads(boxes[i], scale)

@@ -86,6 +86,13 @@ class OcrConfig:
                                      # rotated lines by their AABB: measured
                                      # 0.80 vs 0.93 line-exact at ±10°).
                                      # 0 disables rerouting.
+    fused_color_reroute_frac: float = 0.005  # pages where more than this
+                                     # fraction of pixels carry strong
+                                     # chroma reroute to the staged path
+                                     # computed over MIN-CHANNEL luma
+                                     # (colored ink stays dark there; 601
+                                     # luma can wash it out entirely).
+                                     # 0 disables.
     fused_chunk_pages: int = 16      # pages per fused-program call; large
                                      # batches are cut into chunks dispatched
                                      # ahead so upload/compute/download of

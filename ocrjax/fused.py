@@ -171,6 +171,10 @@ def unpack_fused(payload: np.ndarray, K: int, max_tokens: int):
     }
 
 
+class _FakeOom(RuntimeError):
+    """Marker for a dispatch-time OOM deferred to the fetch loop."""
+
+
 def ocr_pages_fused(engine, images, lines_per_page: int = None,
                     bucket_width: int = None, beam: bool = False
                     ) -> List["OcrResult"]:
@@ -232,7 +236,29 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     scales = np.ones((B,), np.float64)
     valid_hw = np.zeros((B, 2), np.int64)
     ok = np.ones((B,), bool)
+
+    def dispatch(grays_np, wh_np):
+        return fused(st.variables, engine.rec_variables,
+                     jax.device_put(preprocess.pack_for_upload(
+                         grays_np, cfg)), thr, wh_np)
+
+    def fetch_halving(grays_np, wh_np, depth: int = 0) -> np.ndarray:
+        """OOM fallback (SURVEY.md §5, mirrors tiling.run_chunked): halve
+        the chunk and retry when the device runs out of memory."""
+        try:
+            return np.asarray(dispatch(grays_np, wh_np))
+        except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
+            if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
+                    or len(grays_np) <= 1:
+                raise
+            mid = len(grays_np) // 2
+            return np.concatenate([
+                fetch_halving(grays_np[:mid], wh_np[:mid], depth + 1),
+                fetch_halving(grays_np[mid:], wh_np[mid:], depth + 1)])
+
     outs = []
+    chunk_inputs = []  # kept for the OOM retry path
+    colorful: List[int] = []
     for lo in range(0, B, C):
         hi = min(lo + C, B)
         grays = np.zeros((hi - lo, S, S), np.uint8)
@@ -243,21 +269,42 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                     canvas, scales[i], valid_hw[i] = \
                         preprocess.det_resize_to_canvas(img, cfg)
                     grays[i - lo] = preprocess.to_gray(canvas)
+                    # Color-content reroute (mirror of the rotation
+                    # reroute): the fused path runs on 601 luma, which can
+                    # wash out saturated colored ink entirely — such pages
+                    # re-run through the staged min-channel-luma path.
+                    frac = cfg.fused_color_reroute_frac
+                    if frac > 0 and preprocess.color_fraction(canvas) > frac:
+                        colorful.append(i)
                 except Exception:  # noqa: BLE001 — per-page isolation
                     ok[i] = False
+        wh = valid_hw[lo:hi, ::-1].astype(np.float32)
         with _stage("fused_dispatch"):
-            outs.append(fused(
-                st.variables, engine.rec_variables,
-                jax.device_put(preprocess.pack_for_upload(grays, cfg)), thr,
-                valid_hw[lo:hi, ::-1].astype(np.float32)))
+            try:
+                outs.append(dispatch(grays, wh))
+            except Exception as e:  # noqa: BLE001 — OOM at dispatch
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                outs.append(None)  # retried with halving at fetch time
+        chunk_inputs.append((grays, wh))
     for o in outs:
         try:
             o.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
     with _stage("fused_fetch"):
-        payload = np.concatenate([np.asarray(o) for o in outs]) \
-            if len(outs) > 1 else np.asarray(outs[0])
+        payloads = []
+        for o, (grays, wh) in zip(outs, chunk_inputs):
+            try:
+                if o is None:
+                    raise _FakeOom("RESOURCE_EXHAUSTED (deferred)")
+                payloads.append(np.asarray(o))
+            except Exception as e:  # noqa: BLE001 — OOM at materialization
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                payloads.append(fetch_halving(grays, wh))
+        payload = (np.concatenate(payloads) if len(payloads) > 1
+                   else payloads[0])
     out = unpack_fused(payload, lines_per_page, cfg.rec_max_tokens)
     tokens = out["tokens"]
     n_tokens = out["n_tokens"]
@@ -268,20 +315,28 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
 
     results: List[OcrResult] = []
     reroute: List[int] = []
+    color_set = set(colorful)
     for i in range(B):
         if not ok[i]:
             results.append(OcrResult(lines=[]))
+            continue
+        if i in color_set:
+            from ocrjax import api_det
+            results.append(api_det.ocr(engine, images[i], beam=beam,
+                                       color=True))
             continue
         # Rotation reroute: the separable warp crops rotated lines by their
         # AABB (measured 0.80 vs 0.93 line-exact at ±10°); pages whose
         # detected boxes tilt past the threshold re-run through the staged
         # exact-homography path. The quads are already on host, so straight
-        # pages — the common case — pay nothing. Robustness (ADVICE r1): a
-        # single tilted box on a multi-line page is detector noise, not a
-        # rotated page — require ≥2 tilted boxes (or a single-line page
-        # whose one box tilts) before paying for the reroute; rerouted
-        # pages are collected and re-run as ONE staged batch below instead
-        # of N serial single-page pipelines.
+        # pages — the common case — pay nothing. ANY tilted box triggers:
+        # lines rotate independently (a page can hold one genuinely tilted
+        # line among straight ones), and a missed reroute misreads that
+        # line while a false trigger only costs the (batched, below)
+        # staged re-run — measured 0.81 vs 0.92 rotated line-exact for a
+        # ≥2-box majority trigger. Rerouted pages are collected and re-run
+        # as ONE staged batch instead of N serial single-page pipelines
+        # (ADVICE r1).
         deg = cfg.fused_rotation_reroute_deg
         if deg > 0:
             vq = quads[i][valid[i]]
@@ -289,8 +344,7 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                 e = vq[:, 1] - vq[:, 0]
                 a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 90.0
                 tilt = np.minimum(a, 90.0 - a)
-                n_tilted = int((tilt > deg).sum())
-                if n_tilted >= 2 or (len(vq) == 1 and n_tilted == 1):
+                if float(tilt.max()) > deg:
                     reroute.append(i)
                     results.append(None)  # placeholder, filled below
                     continue
@@ -315,19 +369,25 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
         results.append(OcrResult(
             lines=lines, truncated=bool(valid[i].sum() >= lines_per_page)))
 
-    if reroute:
-        # one pooled staged batch for all rotated pages: exact-homography
-        # rectification via the bucketed path (same pipeline C4 uses).
-        # Downscaled pages keep the staged single-page path — it recognizes
-        # from the full-res ORIGINAL image (api_det._ocr_from_original),
-        # which the canvas-based bucketed path cannot.
+    # Saturated pages (every one of the K static line slots valid — the
+    # page may hold MORE lines than the fused capacity) redo through the
+    # unbounded bucketed path alongside the rotation reroutes.
+    redo = [i for i in range(B)
+            if results[i] is not None and results[i].truncated and ok[i]]
+    if reroute or redo:
+        # one pooled staged batch for all rotated + saturated pages:
+        # exact-homography rectification / unbounded line count via the
+        # bucketed path (same pipeline C4 uses). Downscaled pages keep the
+        # staged single-page path — it recognizes from the full-res
+        # ORIGINAL image (api_det._ocr_from_original), which the
+        # canvas-based bucketed path cannot.
         from ocrjax import api_det, bucketing
-        pooled = [i for i in reroute if scales[i] >= 0.999]
+        pooled = [i for i in reroute + redo if scales[i] >= 0.999]
         staged = bucketing.ocr_pages(
             engine, [images[i] for i in pooled], beam=beam)
         for i, res in zip(pooled, staged):
             results[i] = res
-        for i in reroute:
+        for i in reroute + redo:
             if scales[i] < 0.999:
                 results[i] = api_det.ocr(engine, images[i], beam=beam,
                                          force_staged=True)

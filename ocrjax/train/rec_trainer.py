@@ -94,6 +94,7 @@ def train_rec(
     p_space: float = 0.0,
     aug_rotation: float = 0.0,
     char_weights=None,
+    quantize_p: float = 0.0,
 ) -> TrainResult:
     """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
     shipped assets — must match the model built from `config`/`charset`.
@@ -142,7 +143,7 @@ def train_rec(
             lb = synth.make_line_batch(
                 rng, charset, batch_size, width, config.rec_height,
                 max_len=max_len, p_space=p_space, max_rotation=aug_rotation,
-                char_weights=char_weights)
+                char_weights=char_weights, quantize_p=quantize_p)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state,
             jnp.asarray(lb.images), jnp.asarray(lb.widths),

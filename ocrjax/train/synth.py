@@ -21,7 +21,9 @@ FONTS = [
     "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
 ]
 
 _font_cache = {}
@@ -109,6 +111,7 @@ def make_line_batch(
     p_space: float = 0.0,
     max_rotation: float = 0.0,
     char_weights=None,
+    quantize_p: float = 0.0,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -116,7 +119,10 @@ def make_line_batch(
     uniform angle in ±max_rotation degrees (white background fill) BEFORE
     margin jitter — the residual-rotation distribution the recognizer sees
     behind the separable (AABB-crop) warp and behind imperfect angle
-    estimates on short lines."""
+    estimates on short lines. quantize_p: probability of pushing a strip
+    through the 4-bit Bayer-dither transport round-trip
+    (preprocess.pack_nibbles) — the noise distribution serving strips carry
+    when warped off a packed-uploaded canvas (upload_bits=4)."""
     images = np.zeros((batch_size, height, width), np.uint8)
     widths = np.zeros((batch_size,), np.int32)
     labels = np.zeros((batch_size, max_label), np.int32)
@@ -185,6 +191,12 @@ def make_line_batch(
                                    interpolation=cv2.INTER_LINEAR)
             if strip.shape[1] <= width and len(text) <= max_label:
                 break
+        if quantize_p > 0 and rng.rand() < quantize_p:
+            from ocrjax import preprocess as _P
+            s = strip if strip.shape[1] % 2 == 0 else np.pad(
+                strip, ((0, 0), (0, 1)), constant_values=255)
+            strip = _P.unpack_nibbles_host(
+                _P.pack_nibbles(s))[:, : strip.shape[1]]
         w = strip.shape[1]
         images[b, :, :w] = strip
         widths[b] = w

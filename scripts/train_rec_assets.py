@@ -38,6 +38,9 @@ def main():
                     help="per-char space probability in synthetic text")
     ap.add_argument("--aug-rotation", type=float, default=0.0,
                     help="rotate half the synthetic strips by +-DEG")
+    ap.add_argument("--quantize-p", type=float, default=0.0,
+                    help="prob of the 4-bit dither transport round-trip "
+                         "per training strip (match upload_bits=4 serving)")
     ap.add_argument("--l-bias", type=float, default=1.0,
                     help="sampling weight of 'l' relative to other chars "
                          "(sets the prior for the ambiguous l/I stroke)")
@@ -111,6 +114,7 @@ def main():
         det_crops=det_crops,
         p_space=args.p_space,
         aug_rotation=args.aug_rotation,
+        quantize_p=args.quantize_p,
         char_weights={"l": args.l_bias} if args.l_bias != 1.0 else None,
     )
     cfg_json = json.dumps({

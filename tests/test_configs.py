@@ -161,3 +161,89 @@ def test_c5_ocr_tiled_api(engine):
     assert len(out) == 3
     assert out[1].lines == []
     assert len(out[0].lines) == len(res.lines)
+
+
+def test_c4_fused_truncated_pages_redo_unbounded(page):
+    """A page with more lines than the fused program's static capacity must
+    NOT return truncated results: ocr_pages_fused redoes saturated pages
+    through the unbounded bucketed path (VERDICT r1 #9)."""
+    cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45,
+                       fused_lines_per_page=1, fused_rotation_reroute_deg=0.0)
+    eng = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    img3, _, _ = page
+    res_f = eng.ocr_batch([img3, img3], fused=True)
+    res_b = eng.ocr_batch([img3, img3])
+    for rf, rb in zip(res_f, res_b):
+        assert not rf.truncated
+        # redo routed through the bucketed path: same line count
+        assert len(rf.lines) == len(rb.lines)
+
+
+def test_c4_fused_oom_chunk_halving(page, monkeypatch):
+    """RESOURCE_EXHAUSTED from a fused chunk triggers batch-halving retries
+    (mirroring tiling's OOM fallback) instead of failing the batch."""
+    from ocrjax import fused as F
+
+    cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45,
+                       fused_chunk_pages=4, fused_rotation_reroute_deg=0.0)
+    eng = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    img3, _, _ = page
+    imgs = [img3] * 4
+
+    ref = eng.ocr_batch(imgs, fused=True)  # compiles the real program
+
+    real_make = F.make_fused_ocr_fn
+    calls = {"n": 0}
+
+    def patched_make(engine, *a, **kw):
+        real = real_make(engine, *a, **kw)
+
+        def guard(det_vars, rec_vars, grays, thr, wh):
+            calls["n"] += 1
+            if grays.shape[0] > 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM for test")
+            return real(det_vars, rec_vars, grays, thr, wh)
+        return guard
+
+    monkeypatch.setattr(F, "make_fused_ocr_fn", patched_make)
+    eng2 = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    out = eng2.ocr_batch(imgs, fused=True)
+    assert calls["n"] >= 4  # initial + halving retries reached B=1
+    assert [len(r.lines) for r in out] == [len(r.lines) for r in ref]
+
+
+def test_c4_fused_color_reroute(page, monkeypatch):
+    """Pages with strong chroma reroute to the staged min-channel-luma
+    path: 601 luma can wash out saturated colored ink entirely (yellow on
+    white: luma 226/255)."""
+    from ocrjax import api_det, preprocess
+    from ocrjax.train.synth import render_page
+
+    # yellow text on white: R=G=255, B=0 where ink
+    rng = np.random.RandomState(11)
+    gray_img, _, _ = render_page(rng, default_charset(), size=(256, 256))
+    color_img = np.stack([np.full_like(gray_img, 255),
+                          np.full_like(gray_img, 255), gray_img], axis=2)
+    assert preprocess.color_fraction(color_img) > 0.02
+    assert preprocess.color_fraction(
+        np.repeat(gray_img[..., None], 3, 2)) == 0.0
+    # min-channel keeps the ink; 601 luma nearly erases it
+    assert preprocess.to_gray_minchannel(color_img).min() < 30
+    assert preprocess.to_gray(color_img).min() > 180
+
+    cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45,
+                       fused_rotation_reroute_deg=0.0)
+    eng = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    calls = []
+    real_ocr = api_det.ocr
+
+    def spy(engine, image, beam=False, force_staged=False, color=False):
+        calls.append(color)
+        return real_ocr(engine, image, beam=beam,
+                        force_staged=force_staged, color=color)
+
+    monkeypatch.setattr(api_det, "ocr", spy)
+    img3, _, _ = page
+    out = eng.ocr_batch([color_img, img3], fused=True)
+    assert calls == [True]  # only the colorful page rerouted
+    assert len(out) == 2

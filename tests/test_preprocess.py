@@ -83,8 +83,11 @@ def test_det_normalize_imagenet():
 
 
 def test_nibble_pack_roundtrip():
-    """4-bit link packing: device unpack inverts host pack within the
-    quantization step (≤ 8 gray levels), exactly on 17-multiples."""
+    """4-bit link packing: device unpack inverts host pack within one
+    dithered quantization step (≤ 17 gray levels per pixel), and the LOCAL
+    MEAN over a Bayer tile is preserved to ≤ 2.5 levels (the property the
+    DB conv stack depends on — plain rounding banded antialiased edges and
+    fragmented detection)."""
     import jax.numpy as jnp
 
     from ocrjax import preprocess
@@ -96,11 +99,13 @@ def test_nibble_pack_roundtrip():
     back_h = preprocess.unpack_nibbles_host(packed)
     back_d = np.asarray(preprocess.unpack_nibbles(jnp.asarray(packed)))
     np.testing.assert_array_equal(back_h, back_d)
-    assert np.abs(back_h.astype(int) - g.astype(int)).max() <= 8
+    assert np.abs(back_h.astype(int) - g.astype(int)).max() <= 17
 
-    exact = (np.arange(16, dtype=np.uint8) * 17).reshape(1, 1, 16)
-    np.testing.assert_array_equal(
-        preprocess.unpack_nibbles_host(preprocess.pack_nibbles(exact)), exact)
+    # flat fields: dithered local mean ≈ original value
+    for v in (0, 37, 128, 200, 255):
+        flat = np.full((8, 8), v, np.uint8)
+        back = preprocess.unpack_nibbles_host(preprocess.pack_nibbles(flat))
+        assert abs(float(back.mean()) - v) <= 2.5, v
 
 
 def test_pack_for_upload_respects_config():
