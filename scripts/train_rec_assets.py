@@ -38,6 +38,9 @@ def main():
                     help="per-char space probability in synthetic text")
     ap.add_argument("--aug-rotation", type=float, default=0.0,
                     help="rotate half the synthetic strips by +-DEG")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint/resume dir: reruns continue from the "
+                         "latest step (survives bounded run windows)")
     ap.add_argument("--quantize-p", type=float, default=0.0,
                     help="prob of the 4-bit dither transport round-trip "
                          "per training strip (match upload_bits=4 serving)")
@@ -111,6 +114,7 @@ def main():
         seed=args.seed, max_len=args.max_len,
         log=lambda m: print(m, flush=True),
         init_variables=init_variables,
+        ckpt_dir=args.ckpt_dir,
         det_crops=det_crops,
         p_space=args.p_space,
         aug_rotation=args.aug_rotation,
