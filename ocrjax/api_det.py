@@ -318,6 +318,15 @@ def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     rows = ink.sum(axis=1) >= min_count
     if not rows.any():
         return crop
+    # gap fill, mirroring ops.warp.ink_boxes: close blank row-runs bounded
+    # by ink on both sides and no longer than max(2, 10% of the crop) so
+    # underscores/diacritics separated from the glyph body stay in-band.
+    ys_ink = np.where(rows)[0]
+    if len(ys_ink) > 1:
+        G = max(2, int(round(0.10 * crop.shape[0])))
+        gaps = np.diff(ys_ink)
+        for k in np.where((gaps > 1) & (gaps <= G + 1))[0]:
+            rows[ys_ink[k]:ys_ink[k + 1] + 1] = True
     c = crop.shape[0] // 2
     if rows[c]:
         a = b = c

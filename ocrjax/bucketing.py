@@ -159,16 +159,10 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     chunk_devs, chunk_packed = [], []
     for lo in range(0, B, C):
         hi = min(lo + C, B)
-        grays = np.zeros((hi - lo, S, S), np.uint8)
         with T.stage("host_decode"):
-            for i in range(lo, hi):
-                try:
-                    img = preprocess.load_image(images[i])
-                    canvas, scales[i], valid_hw[i] = \
-                        preprocess.det_resize_to_canvas(img, cfg)
-                    grays[i - lo] = preprocess.to_gray(canvas)
-                except Exception:  # noqa: BLE001 — per-page isolation
-                    ok[i] = False
+            grays, scales[lo:hi], valid_hw[lo:hi], ok[lo:hi], _ = \
+                preprocess.decode_chunk_to_gray(
+                    images, range(lo, hi), cfg)
         with T.stage("det_dispatch"):
             dev = jnp.asarray(preprocess.pack_for_upload(grays, cfg))
             _, packed = st.forward(st.variables, dev)

@@ -261,23 +261,16 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     colorful: List[int] = []
     for lo in range(0, B, C):
         hi = min(lo + C, B)
-        grays = np.zeros((hi - lo, S, S), np.uint8)
         with _stage("host_decode"):
-            for i in range(lo, hi):
-                try:
-                    img = preprocess.load_image(images[i])
-                    canvas, scales[i], valid_hw[i] = \
-                        preprocess.det_resize_to_canvas(img, cfg)
-                    grays[i - lo] = preprocess.to_gray(canvas)
-                    # Color-content reroute (mirror of the rotation
-                    # reroute): the fused path runs on 601 luma, which can
-                    # wash out saturated colored ink entirely — such pages
-                    # re-run through the staged min-channel-luma path.
-                    frac = cfg.fused_color_reroute_frac
-                    if frac > 0 and preprocess.color_fraction(canvas) > frac:
-                        colorful.append(i)
-                except Exception:  # noqa: BLE001 — per-page isolation
-                    ok[i] = False
+            # Color-content reroute (mirror of the rotation reroute): the
+            # fused path runs on 601 luma, which can wash out saturated
+            # colored ink entirely — such pages re-run through the staged
+            # min-channel-luma path.
+            grays, scales[lo:hi], valid_hw[lo:hi], ok[lo:hi], col = \
+                preprocess.decode_chunk_to_gray(
+                    images, range(lo, hi), cfg,
+                    color_frac=cfg.fused_color_reroute_frac)
+            colorful.extend(lo + j for j, c in enumerate(col) if c)
         wh = valid_hw[lo:hi, ::-1].astype(np.float32)
         with _stage("fused_dispatch"):
             try:

@@ -330,7 +330,7 @@ def expand_quads(quads, frac_y: float, frac_x: float, bounds=None):
 def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
               *, ink_thresh: float = 0.0, min_count: int = 2,
               pad_y: float = 2.0, pad_x: float = 3.0,
-              x_lo=None, x_hi=None):
+              x_lo=None, x_hi=None, gap_fill: float = 0.10):
     """Per-strip padded bbox of the ink band containing the vertical center.
 
     The contiguous-run-through-center rule rejects fragments of NEIGHBORING
@@ -341,6 +341,14 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     (and decode as a phantom '|'-class character). Returns (x0, y0, x1, y1,
     ok) — float strip coords (may poke outside the strip by the pads;
     samplers clamp), ok=False where no ink was found.
+
+    gap_fill: before taking the center run, blank row-runs of length
+    <= max(2, gap_fill*H) WITH INK ON BOTH SIDES are closed. Underscores
+    (and stacked diacritics) are same-line ink separated from the glyph
+    body by a small blank gap — ~2 rows at H=32 for DejaVu '_' on a line
+    with no other descenders — and the plain contiguous rule cropped them
+    out, decoding '_' as ' '. Closing is bounded by the outermost ink, so
+    a neighbor fragment separated by more than the gap stays rejected.
     """
     N, H, W = strips.shape
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
@@ -354,6 +362,13 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     # --- row band: contiguous ink-row run containing the center row -------
     rows = jnp.sum(ink, axis=2) >= min_count                  # (N, H)
     r = jnp.arange(H)
+    if gap_fill > 0:
+        G = max(int(round(gap_fill * H)), 2)
+        la = jax.lax.cummax(jnp.where(rows, r[None, :], -4 * H), axis=1)
+        fb = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(rows, r[None, :], 4 * H), 1), axis=1), 1)
+        # blank row between ink rows: run length = da + db - 1
+        rows = rows | ((r[None, :] - la) + (fb - r[None, :]) <= G + 1)
     center = H // 2
     empty = ~rows
     last_empty_above = jax.lax.cummax(

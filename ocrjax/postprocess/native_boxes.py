@@ -29,9 +29,12 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "ocr_native.cpp")
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                                capture_output=True, timeout=120)
             except Exception:
                 _build_failed = True
@@ -51,6 +54,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
+        if hasattr(lib, "occ_pack_nibbles"):  # added after round 1
+            lib.occ_pack_nibbles.restype = None
+            lib.occ_pack_nibbles.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 

@@ -87,6 +87,61 @@ def color_fraction(img: np.ndarray, chroma_thresh: int = 40,
     return float((chroma > chroma_thresh).mean())
 
 
+_decode_pool = None
+
+
+def _get_decode_pool():
+    global _decode_pool
+    if _decode_pool is None:
+        import concurrent.futures
+        import os as _os
+        _decode_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, _os.cpu_count() or 1),
+            thread_name_prefix="ocrjax-decode")
+    return _decode_pool
+
+
+def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
+                         color_frac: float = 0.0):
+    """Threaded host decode of a page chunk onto detection canvases.
+
+    cv2 decode/resize/cvtColor release the GIL, so a thread pool cuts the
+    serial host_decode stage ~4-8x (it was 74 ms per 16-page chunk — the
+    largest serial cost on the upload path after the native nibble pack).
+
+    images: full sequence; idxs: which entries this chunk covers. Returns
+    (grays (n, S, S) u8, scales (n,), valid_hw (n, 2) int, ok (n,) bool,
+    colorful bool list) — per-page isolation: a page that fails to decode
+    gets ok=False and a zero canvas. colorful[j] is True when color_frac>0
+    and the page's strong-chroma fraction exceeds it (the fused path's
+    color reroute signal).
+    """
+    n = len(idxs)
+    S = cfg.det_max_side
+    grays = np.zeros((n, S, S), np.uint8)
+    scales = np.ones((n,), np.float64)
+    valid_hw = np.zeros((n, 2), np.int64)
+    ok = np.ones((n,), bool)
+    colorful = [False] * n
+    gf = gray_fn or to_gray
+
+    def work(j):
+        try:
+            img = load_image(images[idxs[j]])
+            canvas, scales[j], valid_hw[j] = det_resize_to_canvas(img, cfg)
+            grays[j] = gf(canvas)
+            if color_frac > 0 and color_fraction(canvas) > color_frac:
+                colorful[j] = True
+        except Exception:  # noqa: BLE001 — per-page isolation
+            ok[j] = False
+
+    if n == 1:
+        work(0)
+    else:
+        list(_get_decode_pool().map(work, range(n)))
+    return grays, scales, valid_hw, ok, colorful
+
+
 def rec_resize(img: np.ndarray, height: int = 32) -> np.ndarray:
     """Aspect-preserving resize of a grayscale strip to the fixed rec height."""
     h, w = img.shape[:2]
@@ -147,6 +202,31 @@ def pad_strips_to_bucket(
 _BAYER4 = (np.array([[0, 8, 2, 10], [12, 4, 14, 6],
                      [3, 11, 1, 9], [15, 7, 13, 5]],
                     np.float32) + 0.5) / 16.0
+# integer form of the dither offset: 34*b + 17 (see pack_nibbles)
+_BAYER4_I = (np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                       [3, 11, 1, 9], [15, 7, 13, 5]],
+                      np.uint16) * 34 + 17)
+
+
+def _pack_nibbles_native(flat: np.ndarray):
+    """C++ fast path for pack_nibbles: (R, W) u8 -> (R, W/2) u8, or None.
+
+    The numpy dither costs ~190 ms per 16-page 960px chunk of pure serial
+    host time on the upload path (measured: it alone capped the fused e2e
+    path near 80 pages/s); the native LUT+threads version is ~5 ms.
+    """
+    from ocrjax.postprocess import native_boxes
+    lib = native_boxes._load()
+    if lib is None or not hasattr(lib, "occ_pack_nibbles"):
+        return None
+    import ctypes
+    R, W = flat.shape
+    out = np.empty((R, W // 2), np.uint8)
+    lib.occ_pack_nibbles(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(R), ctypes.c_int64(W),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
 
 
 def pack_nibbles(gray: np.ndarray) -> np.ndarray:
@@ -161,10 +241,19 @@ def pack_nibbles(gray: np.ndarray) -> np.ndarray:
     """
     if gray.shape[-1] % 2:
         raise ValueError(f"width must be even to pack, got {gray.shape}")
-    H, W = gray.shape[-2], gray.shape[-1]
-    t = np.tile(_BAYER4, (H // 4 + 1, W // 4 + 1))[:H, :W]
-    q = np.clip(np.floor(gray.astype(np.float32) * (1.0 / 17.0) + t),
-                0, 15).astype(np.uint8)
+    shape = gray.shape
+    H, W = shape[-2], shape[-1]
+    if H % 4 == 0:  # stacked images keep the row phase aligned
+        out = _pack_nibbles_native(
+            np.ascontiguousarray(gray).reshape(-1, W))
+        if out is not None:
+            return out.reshape(shape[:-1] + (W // 2,))
+    # Integer-exact numpy fallback: q = floor(g/17 + (2b+1)/32)
+    #                                 = (32g + 34b + 17) // 544
+    # (numerator odd => never an exact integer => identical to the float
+    # form for every (g, b); ~3x cheaper than the float32 floor it replaced)
+    bay = np.tile(_BAYER4_I, (H // 4 + 1, W // 4 + 1))[:H, :W]
+    q = (((gray.astype(np.uint16) << 5) + bay) // 544).astype(np.uint8)
     return (q[..., 0::2] << 4) | q[..., 1::2]
 
 

@@ -108,6 +108,31 @@ def test_nibble_pack_roundtrip():
         assert abs(float(back.mean()) - v) <= 2.5, v
 
 
+def test_nibble_pack_integer_matches_float_reference():
+    """The production packer (C++ LUT when available, integer numpy
+    otherwise) must be BIT-IDENTICAL to the original float dither formula
+    q = floor(g/17 + bayer) — goldens and the trained dither-transport
+    augmentation were frozen under it. Covers every (gray value, Bayer
+    phase) pair plus odd shapes that dodge the native path (H % 4 != 0)."""
+    from ocrjax import preprocess
+
+    def pack_float(gray):
+        H, W = gray.shape[-2], gray.shape[-1]
+        t = np.tile(preprocess._BAYER4, (H // 4 + 1, W // 4 + 1))[:H, :W]
+        q = np.clip(np.floor(gray.astype(np.float32) * (1.0 / 17.0) + t),
+                    0, 15).astype(np.uint8)
+        return (q[..., 0::2] << 4) | q[..., 1::2]
+
+    # exhaustive: all 256 grays x all 16 Bayer phases
+    g = np.tile(np.arange(256, dtype=np.uint8), 4)[None].repeat(8, axis=0)
+    np.testing.assert_array_equal(preprocess.pack_nibbles(g), pack_float(g))
+    rng = np.random.RandomState(3)
+    for shape in [(2, 16, 32), (64, 64), (3, 30, 30), (5, 6, 10)]:
+        x = rng.randint(0, 256, shape, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            preprocess.pack_nibbles(x), pack_float(x), err_msg=str(shape))
+
+
 def test_pack_for_upload_respects_config():
     from ocrjax import preprocess
     from ocrjax.config import OcrConfig
