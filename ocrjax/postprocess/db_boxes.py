@@ -260,6 +260,12 @@ def extract_boxes(
         (aniso < angle_flip_below) & (jnp.abs(d_flip) < jnp.abs(d_own)),
         theta + half_pi, theta)
     theta = jnp.where(aniso < angle_aniso_floor, theta_page, theta_r)
+    # Re-wrap to [-π/2, π/2): theta_r = theta + π/2 can exceed π/2, and an
+    # un-wrapped angle makes cos(θ) < 0 below, which reverses the corner
+    # ordering — the quad's TL→TR edge points in −x, the rectifying warp
+    # reads the strip right-to-left, and a 2-char line decodes 180°-flipped
+    # ('I0' → '0I': measured on rotated-page seeds 9/77).
+    theta = _wrap_half(theta)
     ct, st = jnp.cos(theta), jnp.sin(theta)
 
     # ---- extents along each component's axis (fused broadcast reduce) -----

@@ -198,3 +198,20 @@ def test_refine_x_window_rejects_side_neighbor():
     assert float(np.asarray(loose)[0, :, 0].max()) >= 158.0
     assert float(np.asarray(tight)[0, :, 0].max()) <= 157.0
     assert float(np.asarray(tight)[0, :, 0].max()) >= 148.0  # kept the ink
+
+
+def test_cross_axis_flip_keeps_reading_direction():
+    """A tall-ish near-square component on a horizontal page takes the
+    cross-axis flip branch (theta + pi/2); the final angle must be re-wrapped
+    so the emitted quad's TL->TR edge still points in +x — an un-wrapped
+    angle reverses the corner order and the strip decodes 180-flipped
+    ('I0' -> '0I' on rotated-page seeds 9/77)."""
+    prob = _synthetic_prob([(10, 10, 110, 22),    # long line: page angle ~0
+                            (60, 60, 70, 80)])    # 10x20 blob: aniso ~0.6,
+    out = extract_boxes(jnp.asarray(prob), max_candidates=16)  # PCA axis 90°
+    valid = np.asarray(out["valid"])
+    boxes = np.asarray(out["boxes"])[valid]
+    assert len(boxes) == 2
+    for box in boxes:
+        dx = box[1, 0] - box[0, 0]          # TL -> TR
+        assert dx > 0, box

@@ -73,8 +73,9 @@ def test_pallas_ccl_parity_on_tpu():
 def test_rotated_pages_e2e_on_tpu():
     """Rotated lines (±10°): DB detection finds the rotated rects and the
     exact homography warp rectifies them — via the DEFAULT api, whose fused
-    path auto-reroutes tilted pages (measured 0.96 line exact; gate leaves
-    headroom)."""
+    path auto-reroutes tilted pages (measured 0.895 on this seed / 0.872
+    over 6 seeds after the theta re-wrap fix; remaining misses are O/0 and
+    I/l glyph confusions)."""
     from ocrjax.api import OcrEngine
     from ocrjax.train import synth
 
