@@ -32,7 +32,8 @@ class DetCropSet:
 def generate_det_crops(engine, n_pages: int = 256, seed: int = 17,
                        width: int = 192, chunk: int = 16,
                        page_size: int = None,
-                       max_rotation: float = 0.0) -> DetCropSet:
+                       max_rotation: float = 0.0,
+                       p_word: float = 0.0) -> DetCropSet:
     """Render pages → detect → refined warp → (strip, gt text) pairs.
 
     Crops whose strip width hits the bucket cap are dropped (their text
@@ -57,7 +58,7 @@ def generate_det_crops(engine, n_pages: int = 256, seed: int = 17,
         for i in range(B):
             page, quads, texts = synth.render_page(
                 rng, engine.charset, size=(S, S),
-                max_rotation=max_rotation)
+                max_rotation=max_rotation, p_word=p_word)
             grays[i] = page
             gt.append((quads, texts))
 

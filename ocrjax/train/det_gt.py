@@ -94,9 +94,11 @@ def db_gt_maps(quads: List[np.ndarray], shape: Tuple[int, int]
 
 
 def make_det_batch(rng: np.random.RandomState, charset, batch_size: int,
-                   size: int, n_lines=(3, 8)) -> Tuple[np.ndarray, ...]:
+                   size: int, n_lines=(3, 8),
+                   p_word: float = 0.0) -> Tuple[np.ndarray, ...]:
     """Rendered pages + GT maps: (images u8 (B,S,S,3), gt_shrink, gt_thresh,
-    thresh_mask) — images are RGB broadcast of the gray page."""
+    thresh_mask) — images are RGB broadcast of the gray page. p_word: see
+    synth.word_text (kernel continuity across '_'-joined x-height words)."""
     from ocrjax.train import synth
 
     imgs = np.zeros((batch_size, size, size, 3), np.uint8)
@@ -105,7 +107,8 @@ def make_det_batch(rng: np.random.RandomState, charset, batch_size: int,
     g_mask = np.zeros((batch_size, size, size), np.float32)
     for b in range(batch_size):
         page, quads, _ = synth.render_page(
-            rng, charset, size=(size, size), n_lines=n_lines)
+            rng, charset, size=(size, size), n_lines=n_lines,
+            p_word=p_word)
         imgs[b] = page[..., None]
         s, t, m = db_gt_maps(quads, (size, size))
         g_shrink[b], g_thresh[b], g_mask[b] = s, t, m

@@ -164,14 +164,18 @@ def train_det(
     log: Callable[[str], None] = print,
     ckpt_dir: Optional[str] = None,
     ckpt_every: int = 500,
+    p_word: float = 0.0,
+    init_variables=None,
 ) -> DetTrainResult:
     """Train on `size`-px synthetic pages (conv translation invariance makes
-    the weights valid at the full det_max_side canvas)."""
+    the weights valid at the full det_max_side canvas). p_word mixes
+    word-like lines into the pages (synth.word_text); init_variables
+    warm-starts from existing weights (fine-tuning)."""
     config = config or OcrConfig()
     charset = charset or default_charset()
     model = create_db(config)
 
-    variables = model.init(
+    variables = init_variables or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), jnp.float32))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(
@@ -196,7 +200,7 @@ def train_det(
     t0 = time.time()
     for step in range(start_step + 1, steps + 1):
         imgs, gts, gtt, gtm = det_gt.make_det_batch(
-            rng, charset, batch_size, size)
+            rng, charset, batch_size, size, p_word=p_word)
         params, batch_stats, opt_state, loss, parts = step_fn(
             params, batch_stats, opt_state,
             jnp.asarray(imgs), jnp.asarray(gts), jnp.asarray(gtt),

@@ -95,6 +95,7 @@ def train_rec(
     aug_rotation: float = 0.0,
     char_weights=None,
     quantize_p: float = 0.0,
+    p_word: float = 0.0,
 ) -> TrainResult:
     """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
     shipped assets — must match the model built from `config`/`charset`.
@@ -143,7 +144,8 @@ def train_rec(
             lb = synth.make_line_batch(
                 rng, charset, batch_size, width, config.rec_height,
                 max_len=max_len, p_space=p_space, max_rotation=aug_rotation,
-                char_weights=char_weights, quantize_p=quantize_p)
+                char_weights=char_weights, quantize_p=quantize_p,
+                p_word=p_word)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state,
             jnp.asarray(lb.images), jnp.asarray(lb.widths),

@@ -88,6 +88,44 @@ def random_text(rng: np.random.RandomState, charset: Charset,
     return text or chars[rng.randint(0, len(chars))]
 
 
+_WORD_SEPS = ["_", " ", "-", "."]
+_WORD_SEP_P = [0.40, 0.40, 0.10, 0.10]
+
+
+def word_text(rng: np.random.RandomState, charset: Charset,
+              min_len: int = 2, max_len: int = 14) -> str:
+    """Word-like text: lowercase runs joined by '_'/' '/'-'/'.', sometimes
+    Capitalized or ALLCAPS. Uniform random_text almost never emits a
+    multi-char x-height-only run (a tall glyph lands every 2-3 draws), so
+    the detector never learns kernel continuity across baseline '_' joins
+    of x-height words ('snake_case_name' split into three boxes at the
+    underscores, measured r2) and the recognizer never sees word-shaped
+    case patterns. Only emits characters present in the charset."""
+    lowers = [c for c in "abcdefghijklmnopqrstuvwxyz"
+              if c in charset._char_to_id]
+    if not lowers:
+        return random_text(rng, charset, min_len, max_len)
+    seps = [s for s in _WORD_SEPS if s in charset._char_to_id]
+    parts = []
+    for _ in range(rng.randint(1, 4)):
+        w = "".join(lowers[i] for i in
+                    rng.randint(0, len(lowers), size=rng.randint(2, 8)))
+        r = rng.rand()
+        if r < 0.20:
+            w = w.capitalize()
+        elif r < 0.25:
+            w = w.upper()
+        parts.append(w)
+    sep = (seps[rng.choice(len(seps), p=np.array(
+        [_WORD_SEP_P[_WORD_SEPS.index(s)] for s in seps])
+        / sum(_WORD_SEP_P[_WORD_SEPS.index(s)] for s in seps))]
+        if seps else "")
+    text = sep.join(parts)[:max_len].strip()
+    while len(text) < min_len:
+        text += lowers[rng.randint(len(lowers))]
+    return text
+
+
 @dataclasses.dataclass
 class LineBatch:
     images: np.ndarray        # (B, 32, W) uint8
@@ -112,6 +150,7 @@ def make_line_batch(
     max_rotation: float = 0.0,
     char_weights=None,
     quantize_p: float = 0.0,
+    p_word: float = 0.0,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -130,8 +169,12 @@ def make_line_batch(
     texts = []
     for b in range(batch_size):
         while True:
-            text = random_text(rng, charset, min_len, max_len,
-                               p_space=p_space, char_weights=char_weights)
+            if p_word > 0 and rng.rand() < p_word:
+                text = word_text(rng, charset, min_len, max_len)
+            else:
+                text = random_text(rng, charset, min_len, max_len,
+                                   p_space=p_space,
+                                   char_weights=char_weights)
             # scale augmentation: render at a random native height and
             # resize to the model height, so inference is robust to
             # upscaled/downscaled inputs (rec_resize does the same at
@@ -220,6 +263,7 @@ def render_page(
     max_len: int = 14,
     noise: float = 0.01,
     max_rotation: float = 0.0,
+    p_word: float = 0.0,
 ) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
     """A page image with non-overlapping text lines at random positions.
 
@@ -238,7 +282,10 @@ def render_page(
     for _ in range(n):
         for _attempt in range(20):
             th = rng.randint(text_height[0], text_height[1] + 1)
-            text = random_text(rng, charset, 2, max_len)
+            if p_word > 0 and rng.rand() < p_word:
+                text = word_text(rng, charset, 2, max_len)
+            else:
+                text = random_text(rng, charset, 2, max_len)
             strip = render_line(text, th, FONTS[rng.randint(len(FONTS))],
                                 rng, noise, pad=2)
             sh, sw = strip.shape

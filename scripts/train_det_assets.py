@@ -21,6 +21,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--p-word", type=float, default=0.0,
+                    help="prob of word-like lines (synth.word_text) per "
+                         "page line: kernel continuity across '_' joins")
+    ap.add_argument("--finetune", action="store_true",
+                    help="warm-start from the shipped assets/det.safetensors")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint/resume dir for bounded run windows")
     ap.add_argument("--head-stride", type=int, default=1, choices=(1, 2, 4),
                     help="det head output stride (4 = detect on the FPN's "
                          "native S/4 grid; ~30%% faster det forward)")
@@ -37,10 +44,19 @@ def main():
     from ocrjax.train.det_trainer import train_det
 
     config = OcrConfig(det_head_stride=args.head_stride)
+    init_variables = None
+    out_default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "det.safetensors")
+    if args.finetune:
+        init_variables = W.load_variables(out_default)
+        print("warm-starting from", out_default, flush=True)
     result = train_det(
         config=config, charset=default_charset(), steps=args.steps,
         batch_size=args.batch, size=args.size, lr=args.lr, seed=args.seed,
         log=lambda m: print(m, flush=True),
+        p_word=args.p_word, init_variables=init_variables,
+        ckpt_dir=args.ckpt_dir,
     )
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

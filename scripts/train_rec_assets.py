@@ -14,6 +14,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+CONFUSABLE = "Il|1iO0osScCzZxXvVwW_"
+
+
+def _char_weights(args):
+    w = {}
+    if args.confusable_bias != 1.0:
+        w = {c: args.confusable_bias for c in CONFUSABLE}
+    if args.l_bias != 1.0:
+        w["l"] = w.get("l", 1.0) * args.l_bias
+    return w or None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -44,6 +56,14 @@ def main():
     ap.add_argument("--quantize-p", type=float, default=0.0,
                     help="prob of the 4-bit dither transport round-trip "
                          "per training strip (match upload_bits=4 serving)")
+    ap.add_argument("--p-word", type=float, default=0.0,
+                    help="prob of word-like text (lowercase runs joined by "
+                         "'_'/' '/'-'/'.') per synthetic line")
+    ap.add_argument("--confusable-bias", type=float, default=1.0,
+                    help="sampling weight of the confusable glyph clusters "
+                         "(Il|1i O0o sS cC zZ xX vV wW _) relative to other "
+                         "chars — concentrates training on the measured "
+                         "e2e miss classes")
     ap.add_argument("--l-bias", type=float, default=1.0,
                     help="sampling weight of 'l' relative to other chars "
                          "(sets the prior for the ambiguous l/I stroke)")
@@ -104,7 +124,7 @@ def main():
             rec_width_buckets=config.rec_width_buckets)
         det_crops = generate_det_crops(
             eng, n_pages=args.mix_det_crops, width=args.width,
-            max_rotation=args.det_rotation)
+            max_rotation=args.det_rotation, p_word=args.p_word)
         print(f"det crops: {det_crops.images.shape[0]} strips from "
               f"{args.mix_det_crops} pages", flush=True)
 
@@ -119,7 +139,8 @@ def main():
         p_space=args.p_space,
         aug_rotation=args.aug_rotation,
         quantize_p=args.quantize_p,
-        char_weights={"l": args.l_bias} if args.l_bias != 1.0 else None,
+        p_word=args.p_word,
+        char_weights=_char_weights(args),
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,

@@ -1,0 +1,57 @@
+"""Synthetic data generators: word-mode text and its plumbing."""
+
+import numpy as np
+
+from ocrjax.charset import default_charset
+from ocrjax.train import synth
+
+
+def test_word_text_charset_closed_and_shaped():
+    cs = default_charset()
+    rng = np.random.RandomState(0)
+    saw_sep = False
+    for _ in range(300):
+        t = synth.word_text(rng, cs, 2, 14)
+        assert 2 <= len(t) <= 14, t
+        assert all(c in cs._char_to_id for c in t), t
+        # word mode is letters plus separators only
+        assert all(c.isalpha() or c in "_ -." for c in t), t
+        if any(c in "_ -." for c in t):
+            saw_sep = True
+    assert saw_sep
+
+
+def test_word_text_produces_xheight_runs():
+    """The generator's purpose: multi-char x-height-only runs (which
+    uniform random_text essentially never emits)."""
+    cs = default_charset()
+    rng = np.random.RandomState(1)
+    xheight = set("acemnorsuvwxz")
+    runs = 0
+    for _ in range(200):
+        t = synth.word_text(rng, cs, 2, 14)
+        run = 0
+        for c in t:
+            run = run + 1 if c in xheight else 0
+            if run >= 4:
+                runs += 1
+                break
+    assert runs > 20, runs
+
+
+def test_make_line_batch_p_word():
+    cs = default_charset()
+    rng = np.random.RandomState(2)
+    lb = synth.make_line_batch(rng, cs, 16, 192, p_word=1.0)
+    assert all(all(c.isalpha() or c in "_ -." for c in t) for t in lb.texts)
+    # labels decode back to the texts
+    for t, lab, ln in zip(lb.texts, lb.labels, lb.label_lengths):
+        assert cs.decode(lab[:ln]) == t
+
+
+def test_render_page_p_word():
+    cs = default_charset()
+    rng = np.random.RandomState(3)
+    _, quads, texts = synth.render_page(rng, cs, p_word=1.0)
+    assert len(quads) == len(texts) and texts
+    assert all(all(c.isalpha() or c in "_ -." for c in t) for t in texts)
