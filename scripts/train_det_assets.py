@@ -34,6 +34,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compile cache: the detection/CRNN graphs take minutes to
+    # compile through the remote-TPU tunnel; repeated training runs skip it
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
