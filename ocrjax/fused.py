@@ -251,6 +251,10 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
             if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
                     or len(grays_np) <= 1:
                 raise
+            from ocrjax.utils.logging import get_logger, log_fields
+            log_fields(get_logger("ocrjax.fused"), "warning",
+                       "device OOM: halving fused chunk",
+                       chunk_pages=len(grays_np), depth=depth)
             mid = len(grays_np) // 2
             return np.concatenate([
                 fetch_halving(grays_np[:mid], wh_np[:mid], depth + 1),
@@ -368,6 +372,11 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     redo = [i for i in range(B)
             if results[i] is not None and results[i].truncated and ok[i]]
     if reroute or redo:
+        from ocrjax.utils.logging import get_logger, log_fields
+        log_fields(get_logger("ocrjax.fused"), "info",
+                   "fused-path redo through the staged pipeline",
+                   rotated=len(reroute), saturated=len(redo),
+                   colorful=len(colorful))
         # one pooled staged batch for all rotated + saturated pages:
         # exact-homography rectification / unbounded line count via the
         # bucketed path (same pipeline C4 uses). Downscaled pages keep the

@@ -132,8 +132,12 @@ def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
             grays[j] = gf(canvas)
             if color_frac > 0 and color_fraction(canvas) > color_frac:
                 colorful[j] = True
-        except Exception:  # noqa: BLE001 — per-page isolation
+        except Exception as e:  # noqa: BLE001 — per-page isolation
             ok[j] = False
+            from ocrjax.utils.logging import get_logger, log_fields
+            log_fields(get_logger("ocrjax.preprocess"), "warning",
+                       "page decode failed (isolated)",
+                       page=int(idxs[j]), error=f"{type(e).__name__}: {e}")
 
     if n == 1:
         work(0)

@@ -163,6 +163,10 @@ def _run_tiles(engine, img: np.ndarray):
             if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
                     or len(tiles_np) <= 1:
                 raise
+            from ocrjax.utils.logging import get_logger, log_fields
+            log_fields(get_logger("ocrjax.tiling"), "warning",
+                       "device OOM: halving tile batch",
+                       tiles=len(tiles_np), depth=depth)
             mid = len(tiles_np) // 2
             parts = [run_chunked(tiles_np[:mid], depth + 1),
                      run_chunked(tiles_np[mid:], depth + 1)]

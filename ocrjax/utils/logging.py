@@ -45,6 +45,15 @@ def get_logger(name: str = "ocrjax", json_logs: bool = False,
     return logger
 
 
-def log_fields(logger: logging.Logger, msg: str, **fields) -> None:
-    """Structured key=value logging that survives the JSON formatter."""
-    logger.info(msg, extra={"fields": fields})
+def log_fields(logger: logging.Logger, level_or_msg: str, msg: Optional[str] = None,
+               **fields) -> None:
+    """Structured key=value logging that survives the JSON formatter.
+
+    log_fields(logger, "msg", k=v)            — INFO
+    log_fields(logger, "warning", "msg", k=v) — explicit level
+    """
+    if msg is None:
+        level, msg = "info", level_or_msg
+    else:
+        level = level_or_msg
+    getattr(logger, level)(msg, extra={"fields": fields})

@@ -142,3 +142,27 @@ def test_pack_for_upload_respects_config():
     cfg4 = OcrConfig(upload_bits=4)
     assert preprocess.pack_for_upload(g, cfg8).shape == (1, 4, 8)
     assert preprocess.pack_for_upload(g, cfg4).shape == (1, 4, 4)
+
+
+def test_decode_chunk_isolation_logs(caplog):
+    import logging
+
+    from ocrjax.config import OcrConfig
+
+    cfg = OcrConfig(det_max_side=64)
+    # get_logger sets propagate=False (it owns its stderr handler); let the
+    # records reach caplog's root handler for this test
+    from ocrjax.utils.logging import get_logger
+
+    lg = get_logger("ocrjax.preprocess")   # configure handlers first
+    old = lg.propagate
+    lg.propagate = True
+    try:
+        with caplog.at_level(logging.WARNING, logger="ocrjax.preprocess"):
+            grays, scales, hw, ok, col = preprocess.decode_chunk_to_gray(
+                [np.full((32, 32, 3), 255, np.uint8), b"garbage"], [0, 1],
+                cfg)
+    finally:
+        lg.propagate = old
+    assert ok.tolist() == [True, False]
+    assert any("decode failed" in r.message for r in caplog.records)
