@@ -129,6 +129,7 @@ def extract_boxes(
     coord_stride: int = 1,
     angle_aniso_floor: float = 0.30,
     angle_flip_below: float = 0.75,
+    angle_coherence_min: float = 0.75,
 ) -> Dict[str, jnp.ndarray]:
     """Single prob map (H, W) float → C fixed candidate boxes.
 
@@ -240,15 +241,27 @@ def extract_boxes(
     #     closer to the page angle (PCA may pick the cross axis);
     #   aniso < floor: page angle outright.
     # With no trustworthy component on the page, atan2(0,0) = 0 falls back
-    # to horizontal. score is needed early here; it only depends on moments.
+    # to horizontal. Borrowing assumes ONE dominant text direction: on a
+    # mixed-orientation page (a rotated stamp among horizontal lines) the
+    # trusted axes disagree, the circular mean is meaningless, and forcing
+    # it would rectify short lines at an angle no text on the page has. The
+    # mean resultant length R = |Σ w·e^{i2θ}|/Σw measures that agreement
+    # (R=1: identical axes; R→0: uniform spread); below ~0.75 (≈ ±20°
+    # spread) each component keeps its own PCA axis instead (ADVICE r1).
+    # score is needed early here; it only depends on moments.
     score = sp / n
     lam_gap = jnp.sqrt((cxx - cyy) ** 2 + 4.0 * cxy * cxy)
     aniso = lam_gap / jnp.maximum(cxx + cyy, 1e-6)
     w_page = jnp.where(
         has_comp & (score >= box_thresh) & (aniso >= angle_flip_below),
         cnt, 0.0)
-    theta_page = 0.5 * jnp.arctan2(jnp.sum(w_page * jnp.sin(2.0 * theta)),
-                                   jnp.sum(w_page * jnp.cos(2.0 * theta)))
+    sin_sum = jnp.sum(w_page * jnp.sin(2.0 * theta))
+    cos_sum = jnp.sum(w_page * jnp.cos(2.0 * theta))
+    theta_page = 0.5 * jnp.arctan2(sin_sum, cos_sum)
+    w_sum = jnp.sum(w_page)
+    res_len = jnp.sqrt(sin_sum ** 2 + cos_sum ** 2) / jnp.maximum(w_sum, 1e-6)
+    # no trusted components (w_sum≈0) keeps the legacy horizontal fallback
+    coherent = (res_len >= angle_coherence_min) | (w_sum <= 1e-6)
     half_pi = jnp.float32(jnp.pi / 2.0)
 
     def _wrap_half(a):  # wrap axis-angle difference to [-π/2, π/2)
@@ -257,9 +270,11 @@ def extract_boxes(
     d_own = _wrap_half(theta - theta_page)
     d_flip = _wrap_half(theta + half_pi - theta_page)
     theta_r = jnp.where(
-        (aniso < angle_flip_below) & (jnp.abs(d_flip) < jnp.abs(d_own)),
+        coherent & (aniso < angle_flip_below)
+        & (jnp.abs(d_flip) < jnp.abs(d_own)),
         theta + half_pi, theta)
-    theta = jnp.where(aniso < angle_aniso_floor, theta_page, theta_r)
+    theta = jnp.where(coherent & (aniso < angle_aniso_floor),
+                      theta_page, theta_r)
     # Re-wrap to [-π/2, π/2): theta_r = theta + π/2 can exceed π/2, and an
     # un-wrapped angle makes cos(θ) < 0 below, which reverses the corner
     # ordering — the quad's TL→TR edge points in −x, the rectifying warp

@@ -215,3 +215,43 @@ def test_cross_axis_flip_keeps_reading_direction():
     for box in boxes:
         dx = box[1, 0] - box[0, 0]          # TL -> TR
         assert dx > 0, box
+
+
+def test_mixed_orientation_page_keeps_own_axis():
+    # Two long trusted lines at 0 and 60 deg: their axes disagree (mean
+    # resultant length ~0.5 in 2-theta space), so page-angle borrowing must
+    # NOT fire — a short wide-ish component at 70 deg keeps its own PCA
+    # axis instead of being rectified at the meaningless circular mean.
+    prob = np.zeros((256, 256), np.float32)
+    prob[30:42, 20:230] = 0.9                      # long line at 0 deg
+    cot60 = 1.0 / np.tan(np.radians(60.0))
+    for y in range(90, 240):                       # long line at 60 deg
+        xc = 150 + (y - 90) * cot60
+        prob[y, int(xc) - 6:int(xc) + 7] = 0.9
+    # 20x15 rect rotated 70 deg at (x=60, y=150): aniso ~0.28 < floor 0.30
+    a = np.radians(70.0)
+    ca, sa = np.cos(a), np.sin(a)
+    yy, xx = np.mgrid[130:170, 40:80]
+    u = (xx - 60) * ca + (yy - 150) * sa
+    v = -(xx - 60) * sa + (yy - 150) * ca
+    prob[130:170, 40:80][(np.abs(u) < 10) & (np.abs(v) < 7.5)] = 0.9
+    out = extract_boxes(jnp.asarray(prob), max_candidates=8, cc_iters=16)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 3, valid.sum()
+    boxes = np.asarray(out["boxes"])[valid]
+    blob = min(boxes, key=lambda b: np.hypot(b[:, 0].mean() - 60,
+                                             b[:, 1].mean() - 150))
+    e = blob[1] - blob[0]
+    e = e / np.hypot(*e)
+    d = np.array([ca, sa])
+    assert abs(e @ d) > np.cos(np.radians(8.0)), (e, blob)
+    # sanity: with borrowing forced (coherence gate off) the blob would NOT
+    # sit on its own axis — the gate is what preserved it
+    out2 = extract_boxes(jnp.asarray(prob), max_candidates=8, cc_iters=16,
+                         angle_coherence_min=0.0)
+    boxes2 = np.asarray(out2["boxes"])[np.asarray(out2["valid"])]
+    blob2 = min(boxes2, key=lambda b: np.hypot(b[:, 0].mean() - 60,
+                                               b[:, 1].mean() - 150))
+    e2 = blob2[1] - blob2[0]
+    e2 = e2 / np.hypot(*e2)
+    assert abs(e2 @ d) < np.cos(np.radians(8.0)), (e2, blob2)
