@@ -57,17 +57,36 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
 
 
 def _param_spec(path: tuple, value, n_tp: int) -> P:
-    """TP sharding rule for CRNN params: Dense/projection kernels split on
-    the output features axis; everything else replicated.
+    """TP sharding rule for CRNN params — Megatron-style column parallelism
+    on every feature-producing axis, so the tp axis shards real FLOPs (not
+    just the tiny projection):
 
-    Path entries are flax dict keys, e.g. ('Dense_0', 'kernel').
+    * Dense / LSTM-gate kernels (2-D): output-features axis over tp. Flax's
+      OptimizedLSTMCell keeps one matrix per gate (ii/if/ig/io, hi/hf/hg/ho),
+      so this is per-gate column parallelism; the hidden state comes out
+      tp-sharded and GSPMD inserts the per-step collectives for the
+      recurrent contraction.
+    * Conv kernels (4-D HWIO): output-channel axis over tp; the next conv's
+      contraction over the sharded input channels becomes a psum.
+    * 1-D channel/feature vectors (conv & gate biases, BN scale/bias, and
+      BN running stats in batch_stats): sharded over tp to match the
+      activations they broadcast against.
+
+    Axes that don't divide n_tp stay replicated (GSPMD requires even
+    splits). Path entries are flax dict keys, e.g. ('params', 'Dense_0',
+    'kernel').
     """
     names = [getattr(p, "key", str(p)) for p in path]
     leaf = names[-1] if names else ""
-    if leaf == "kernel" and value.ndim == 2 and any(
-            "Dense" in n for n in names):
-        if value.shape[1] % n_tp == 0:
-            return P(None, TP_AXIS)
+    div = lambda ax: value.shape[ax] % n_tp == 0
+    if leaf == "kernel" and value.ndim == 2 and div(1) and any(
+            "Dense" in n or "LSTMCell" in n for n in names):
+        return P(None, TP_AXIS)
+    if leaf == "kernel" and value.ndim == 4 and div(3):
+        return P(None, None, None, TP_AXIS)
+    if value.ndim == 1 and div(0) and leaf in (
+            "bias", "scale", "mean", "var"):
+        return P(TP_AXIS)
     return P()
 
 

@@ -43,10 +43,25 @@ def test_tp_param_sharding_rules():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 32, 64, 1), jnp.float32))
     sharded = M.shard_params(m, variables)
+    P = jax.sharding.PartitionSpec
     dense = sharded["params"]["Dense_0"]["kernel"]
-    assert dense.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    assert dense.sharding.spec == P(None, "tp")
     conv = sharded["params"]["ConvBNRelu_0"]["Conv_0"]["kernel"]
-    assert conv.sharding.spec == jax.sharding.PartitionSpec()
+    assert conv.sharding.spec == P(None, None, None, "tp")
+    lstm = sharded["params"]["BiLSTM_0"]["OptimizedLSTMCell_0"]
+    assert lstm["ii"]["kernel"].sharding.spec == P(None, "tp")
+    assert lstm["hf"]["kernel"].sharding.spec == P(None, "tp")
+    assert lstm["hf"]["bias"].sharding.spec == P("tp")
+    # BN running stats follow the channel sharding of their conv
+    bn_tree = sharded["batch_stats"]
+    bn_name = next(n for n in bn_tree if "ConvBNRelu" in n)
+    mean = bn_tree[bn_name]["BatchNorm_0"]["mean"]
+    assert mean.sharding.spec == P("tp")
+    # an odd feature axis stays replicated (GSPMD needs even splits)
+    spec = M._param_spec(
+        (jax.tree_util.DictKey("Dense_0"), jax.tree_util.DictKey("kernel")),
+        np.zeros((4, 7), np.float32), 2)
+    assert spec == P()
 
 
 @requires_8
