@@ -35,7 +35,8 @@ def _percentile(xs, q):
 def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
               weights: Optional[str] = None, cpu: bool = False,
               width_bucket: int = 320,
-              extension_budget_s: float = 5 * 60) -> Dict[str, float]:
+              extension_budget_s: float = 5 * 60,
+              progress: Optional[Dict] = None) -> Dict[str, float]:
     import jax
     if cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -81,6 +82,9 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         times.append(time.perf_counter() - t0)
     report["crops_per_sec"] = n / min(times)
     report["rec_batch_ms"] = min(times) * 1e3
+    if progress is not None:
+        progress["partial"]["crops_per_sec"] = round(
+            report["crops_per_sec"], 0)
 
     # ---- end-to-end pages/sec: alternating-path windows --------------------
     imgs = []
@@ -98,7 +102,10 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         dt = time.perf_counter() - t0
         stage_reports[path] = engine.stage_timer.report()
         engine.stage_timer = None
-        return pages / dt
+        pps = pages / dt
+        if progress is not None:  # live feed for the bench.py watchdog
+            progress["windows"].append(pps)
+        return pps
 
     # warmups compile both paths at the real batch shape (incl. the pooled
     # rec count-buckets the full batch reaches)
@@ -134,6 +141,9 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
            wh_d).block_until_ready()
         times.append(time.perf_counter() - t0)
     report["pages_per_sec_device"] = C / min(times)
+    if progress is not None:
+        progress["partial"]["device_pages_per_sec"] = round(
+            report["pages_per_sec_device"], 1)
 
     # p50 per-page latency (single-page fused path)
     lat = []
@@ -143,6 +153,9 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         engine.ocr(imgs[i])
         lat.append(time.perf_counter() - t0)
     report["p50_page_latency_ms"] = _percentile(lat, 50) * 1e3
+    if progress is not None:
+        progress["partial"]["p50_page_latency_ms"] = round(
+            report["p50_page_latency_ms"], 1)
 
     for path in ("fused", "bucketed"):
         windows[path].append(window(path))
