@@ -36,6 +36,8 @@ class RecResult:
     """One recognized text line."""
     text: str
     confidence: float
+    # True when rec_try_flip chose the 180°-rotated reading of the strip
+    flipped: bool = False
 
 
 @dataclasses.dataclass
@@ -75,6 +77,7 @@ class OcrEngine:
         charset: Optional[Charset] = None,
         rec_variables=None,
         det_variables=None,
+        cls_variables=None,
         seed: int = 0,
     ):
         self.config = config or OcrConfig()
@@ -91,6 +94,17 @@ class OcrEngine:
             rec_variables = self.rec_model.init(key, dummy)
         self.rec_variables = rec_variables
         self.det_variables = det_variables
+        # orientation classifier (rec_try_flip): tiny, always constructed;
+        # trained weights come from assets/cls.safetensors (from_pretrained)
+        from ocrjax.models.cls import create_cls
+        self.cls_model = create_cls(self.config)
+        if cls_variables is None:
+            cls_variables = self.cls_model.init(
+                key,
+                jnp.zeros((1, self.config.rec_height,
+                           self.config.rec_width_buckets[0], 1), jnp.float32),
+                jnp.full((1,), self.config.rec_width_buckets[0], jnp.int32))
+        self.cls_variables = cls_variables
         self._det = None  # built lazily by detection methods (ocrjax.models.db)
 
     # ------------------------------------------------------------------
@@ -110,14 +124,40 @@ class OcrEngine:
             kw["beam_width"] = self.config.ctc_beam_width
         return decode(logits, frame_lengths, **kw)
 
+    @functools.partial(jax.jit, static_argnames=("self", "beam"))
+    def _rec_step_flip(self, variables, batch_u8, widths, seg_ids,
+                       beam: bool = False):
+        """_rec_step with the orientation-classifier stage in front: each
+        strip is classified and conditionally rotated 180° on device before
+        the CRNN (api_det._cls_flip_strips; seg_ids groups page-mates for
+        the orientation prior). Returns (tokens, n_tokens, conf,
+        flipped)."""
+        from ocrjax.api_det import _cls_flip_strips
+        x = preprocess.rec_normalize(
+            batch_u8, self.config.rec_mean, self.config.rec_std)
+        strips, flipped = _cls_flip_strips(self, x[..., 0], widths, seg_ids)
+        logits, frame_lengths = self.rec_model.apply(
+            variables, strips[..., None], widths)
+        decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
+        kw = dict(blank=self.config.ctc_blank,
+                  max_tokens=self.config.rec_max_tokens)
+        if beam:
+            kw["beam_width"] = self.config.ctc_beam_width
+        tokens, n_tokens, conf = decode(logits, frame_lengths, **kw)
+        return tokens, n_tokens, conf, flipped
+
     def recognize_strips(
-        self, strips: Sequence[np.ndarray], beam: bool = False
+        self, strips: Sequence[np.ndarray], beam: bool = False,
+        same_page: bool = False,
     ) -> List[RecResult]:
         """Batched recognition of pre-cropped uint8 grayscale line strips.
 
         Strips may have arbitrary sizes; they are resized to the rec height
         on host and bucketed by width (one XLA program per (count, width)
-        bucket, SURVEY.md §2.3 N13).
+        bucket, SURVEY.md §2.3 N13). same_page=True tells rec_try_flip's
+        orientation stage that the strips come from ONE page (the page-
+        level prior then pools their margins — api_det._cls_flip_strips);
+        unrelated strips keep independent per-line decisions.
         """
         if len(strips) == 0:
             return []
@@ -126,21 +166,34 @@ class OcrEngine:
                                   self.config.rec_height)
             for s in strips
         ]
-        batch, widths = preprocess.pad_strips_to_bucket(resized, self.config)
         n = len(strips)
-        nb = self.config.line_bucket_for_count(n)
-        if nb > n:  # pad the batch axis to the count bucket
-            pad = np.zeros((nb - n,) + batch.shape[1:], batch.dtype)
+        try_flip = self.config.rec_try_flip
+        batch, widths = preprocess.pad_strips_to_bucket(resized, self.config)
+        rows = len(resized)
+        nb = self.config.line_bucket_for_count(rows)
+        if nb > rows:  # pad the batch axis to the count bucket
+            pad = np.zeros((nb - rows,) + batch.shape[1:], batch.dtype)
             batch = np.concatenate([batch, pad], axis=0)
             widths = np.concatenate(
-                [widths, np.full((nb - n,), batch.shape[2], np.int32)])
-        tokens, n_tokens, conf = self._rec_step(
-            self.rec_variables, jnp.asarray(batch), jnp.asarray(widths),
-            beam=beam)
-        tokens, n_tokens, conf = map(np.asarray, (tokens, n_tokens, conf))
+                [widths, np.full((nb - rows,), batch.shape[2], np.int32)])
+        if try_flip:
+            if same_page:  # real rows share group 0; pad rows vote alone
+                seg = np.concatenate(
+                    [np.zeros(n, np.int32), np.arange(1, nb - n + 1)])
+            else:
+                seg = np.arange(nb)
+            out = self._rec_step_flip(
+                self.rec_variables, jnp.asarray(batch), jnp.asarray(widths),
+                jnp.asarray(seg, jnp.int32), beam=beam)
+            tokens, n_tokens, conf, win = map(np.asarray, out)
+        else:
+            out = self._rec_step(self.rec_variables, jnp.asarray(batch),
+                                 jnp.asarray(widths), beam=beam)
+            tokens, n_tokens, conf = map(np.asarray, out)
+            win = np.zeros((n,), bool)
         return [
             RecResult(self.charset.decode(tokens[i][: n_tokens[i]]),
-                      float(conf[i]))
+                      float(conf[i]), flipped=bool(win[i]))
             for i in range(n)
         ]
 
@@ -236,10 +289,12 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
             os.path.abspath(__file__))), "assets")
     rec_p = os.path.join(path, "rec.safetensors")
     det_p = os.path.join(path, "det.safetensors")
+    cls_p = os.path.join(path, "cls.safetensors")
     cs_p = os.path.join(path, "rec.charset.txt")
     charset = Charset.from_file(cs_p) if os.path.exists(cs_p) else None
     rec_v = W.load_variables(rec_p) if os.path.exists(rec_p) else None
     det_v = W.load_variables(det_p) if os.path.exists(det_p) else None
+    cls_v = W.load_variables(cls_p) if os.path.exists(cls_p) else None
     if config is None:
         import json
         cfg_dict = {}
@@ -258,7 +313,7 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
                         for k, v in cfg_dict.items()}
             config = OcrConfig(**cfg_dict)
     return cls(config=config, charset=charset, rec_variables=rec_v,
-               det_variables=det_v, seed=seed)
+               det_variables=det_v, cls_variables=cls_v, seed=seed)
 
 
 OcrEngine.from_pretrained = classmethod(_from_pretrained)

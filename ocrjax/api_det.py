@@ -234,12 +234,24 @@ def ocr(engine, image, beam: bool = False,
             rec_height=cfg.rec_height, bucket_width=bucket_w,
             pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
 
-    tokens, n_tokens, conf = _rec_strips_jit(
-        engine, strips, widths, beam=beam)
-    tokens, n_tokens, conf = map(np.asarray, (tokens, n_tokens, conf))
-
     quads_orig = [geometry.scale_quads(boxes[i], scale) for i in idx]
-    order = geometry.sort_reading_order(quads_orig)
+    if cfg.rec_try_flip:
+        # one page: real rows share the prior group; pad rows (duplicates
+        # of the last quad) vote alone so they can't overweight it
+        seg = np.concatenate([np.zeros(n, np.int32),
+                              np.arange(1, nb - n + 1, dtype=np.int32)])
+        packed = np.asarray(_rec_strips_flip_packed_jit(
+            engine, strips, widths, jnp.asarray(seg), beam=beam))
+        tokens, n_tokens, conf, flips = unpack_rec_flip(
+            packed, cfg.rec_max_tokens)
+        if flips[:n].sum() * 2 > n:  # upside-down page: reversed order
+            order = geometry.sort_reading_order([-q for q in quads_orig])
+        else:
+            order = geometry.sort_reading_order(quads_orig)
+    else:
+        tokens, n_tokens, conf = map(np.asarray, _rec_strips_jit(
+            engine, strips, widths, beam=beam))
+        order = geometry.sort_reading_order(quads_orig)
     lines = []
     for k in order:
         text = engine.charset.decode(tokens[k][: n_tokens[k]])
@@ -291,6 +303,101 @@ def unpack_rec(packed: np.ndarray, max_tokens: int):
     return (packed[:, :T].astype(np.int32),
             packed[:, T].astype(np.int32),
             packed[:, T + 1])
+
+
+def _cls_flip_strips(engine, strips, widths, seg_ids=None,
+                     prior_weights=None):
+    """Orientation stage inside a rec program: classify every strip AND its
+    180° rotation (symmetric ensemble — the relative margin
+    logit(s) − logit(rot180(s)) is calibration-free and measured more
+    accurate than thresholding one logit), rotate the losers in place on
+    device. Returns (strips, flipped).
+
+    A trained classifier, not decode-confidence comparison: the CRNN is
+    trained on RANDOM glyph strings, so flipped strips decode to other
+    glyphs with equally high confidence (no statistic of the frame
+    probabilities separated the orientations on the refined-warp path) —
+    orientation lives in glyph-shape asymmetry, which models.cls learns
+    directly (the PP-OCR "cls" stage, done TPU-style: fused into the
+    recognition program, flip as a device gather).
+
+    seg_ids (same length as strips) groups lines that share a PAGE: a
+    width-weighted mean of the group's margins is added as a page-level
+    orientation prior (cfg.cls_page_prior), because a page is almost never
+    mixed-orientation — a short random-glyph line is individually ~180°-
+    ambiguous, but its page isn't. Strong per-line evidence still overrides
+    (a genuinely rotated stamp among upright lines flips alone). None →
+    every line is its own group (pure per-line decision). prior_weights
+    overrides the per-line prior weight (defaults to widths; the fused
+    program passes width·valid so its padding lanes can't vote).
+    """
+    from ocrjax.models import cls as C
+
+    cfg = engine.config
+    pad = (0.0 - cfg.rec_mean) / cfg.rec_std
+    rot = C.flip_strips_by_width(
+        strips, widths, jnp.ones(strips.shape[:1], bool), pad)
+    both = jnp.concatenate([strips, rot], axis=0)
+    w2 = jnp.concatenate([widths, widths], axis=0)
+    logit = engine.cls_model.apply(
+        engine.cls_variables, both[..., None], w2)
+    n = strips.shape[0]
+    margin = logit[:n] - logit[n:]
+    if seg_ids is not None and cfg.cls_page_prior > 0:
+        w = widths if prior_weights is None else prior_weights
+        margin = apply_page_prior(margin, w, seg_ids,
+                                  cfg.cls_page_prior)
+    flipped = margin > 0
+    return jnp.where(flipped[:, None, None], rot, strips), flipped
+
+
+def apply_page_prior(margin, widths, seg_ids, alpha: float,
+                     clip: float = 8.0):
+    """margin_i + α · (width-weighted mean of the group's margins, each
+    clipped to ±clip): lines sharing a page borrow its orientation
+    consensus; a strongly-evidenced outlier (rotated stamp) still
+    overrides. The clip bounds any ONE line's pull on the consensus —
+    without it a single very-confident line (margins reach ±20) outweighs
+    several moderately-confident page-mates and drags them to its
+    orientation (measured: a +12.7 flipped line vs two upright mates at
+    −23/−12 un-flipped the flipped line at α=2); within ±clip, magnitude
+    still counts as log-odds evidence. Pure function of same-length
+    arrays; group ids must be dense in [0, len(margin))."""
+    n = margin.shape[0]
+    w = widths.astype(jnp.float32)
+    num = jnp.zeros((n,), jnp.float32).at[seg_ids].add(
+        jnp.clip(margin, -clip, clip) * w)
+    den = jnp.zeros((n,), jnp.float32).at[seg_ids].add(w)
+    page_mean = num[seg_ids] / jnp.maximum(den[seg_ids], 1.0)
+    return margin + alpha * page_mean
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "beam"))
+def _rec_strips_flip_packed_jit(engine, strips, widths, seg_ids,
+                                beam: bool = False):
+    """rec_try_flip engine room: orientation-classify + conditionally
+    rotate each strip (see _cls_flip_strips; seg_ids groups page-mates for
+    the orientation prior), then the normal CRNN + CTC decode — one XLA
+    program, one fetched (N, T+3) buffer.
+    Packed columns: T tokens, n_tokens, conf, flip(0/1)."""
+    strips, flipped = _cls_flip_strips(engine, strips, widths, seg_ids)
+    tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
+        engine, strips, widths, beam=beam)
+    return jnp.concatenate([
+        tokens.astype(jnp.float32),
+        n_tokens[:, None].astype(jnp.float32),
+        conf[:, None],
+        flipped[:, None].astype(jnp.float32),
+    ], axis=1)
+
+
+def unpack_rec_flip(packed: np.ndarray, max_tokens: int):
+    """Host-side inverse of _rec_strips_flip_packed_jit."""
+    T = max_tokens
+    return (packed[:, :T].astype(np.int32),
+            packed[:, T].astype(np.int32),
+            packed[:, T + 1],
+            packed[:, T + 2] > 0.5)
 
 
 def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
@@ -379,8 +486,11 @@ def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
         ss.append(float(scores[i]))
     if not strips:
         return OcrResult(lines=[])
-    rs = engine.recognize_strips(strips, beam=beam)
-    order = geometry.sort_reading_order(quads_orig)
+    rs = engine.recognize_strips(strips, beam=beam, same_page=True)
+    if sum(r.flipped for r in rs) * 2 > len(rs):  # upside-down page
+        order = geometry.sort_reading_order([-q for q in quads_orig])
+    else:
+        order = geometry.sort_reading_order(quads_orig)
     return OcrResult(lines=[
         OcrLine(box=DetBox(quads_orig[k], ss[k]), text=rs[k].text,
                 confidence=rs[k].confidence)

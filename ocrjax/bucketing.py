@@ -50,7 +50,7 @@ class _NullStage:
 
 
 def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
-                     beam: bool = False, timer=None):
+                     beam: bool = False, timer=None, prior_ids=None):
     """Pooled width-bucketed recognition over normalized device pages.
 
     The shared engine room of C4 (ocr_pages) and C5 (tiling.ocr_tiled):
@@ -62,10 +62,16 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
     page_ids: (N,) int32 row into gray_dev per quad.
     quads: (N, 4, 2) float32 page-frame quads (tight detector boxes).
     b_all: (N, 1, 2) float32 per-quad valid (max_x, max_y) bounds.
-    Returns (texts, confs) aligned with quads.
+    Returns (texts, confs, flipped) aligned with quads; flipped[i] is True
+    when cfg.rec_try_flip's orientation classifier rotated that strip 180°
+    on device before recognition (api_det._cls_flip_strips). prior_ids
+    groups quads sharing a PAGE for the orientation prior (tiles of one
+    document should share a group); defaults to page_ids.
     """
     from ocrjax.api_det import (_estimate_strip_widths,
-                                _rec_strips_packed_jit, unpack_rec)
+                                _rec_strips_flip_packed_jit,
+                                _rec_strips_packed_jit, unpack_rec,
+                                unpack_rec_flip)
 
     cfg = engine.config
     T = timer if timer is not None else _NullStage()
@@ -84,30 +90,55 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
 
     texts = [None] * len(quads)
     confs = [0.0] * len(quads)
+    flips = [False] * len(quads)
+    try_flip = cfg.rec_try_flip
+    if prior_ids is None:
+        prior_ids = page_ids
     pending = []
+    # One dispatch per (width bucket, count chunk): a width bucket holding
+    # more quads than the largest count bucket is split, not crashed (C5
+    # pages can pool hundreds of same-width lines).
+    cap = cfg.line_batch_buckets[-1]
+    chunks = []
+    for bucket_w, idx_all in assign_width_buckets(
+            est_w, cfg.rec_width_buckets).items():
+        for lo in range(0, len(idx_all), cap):
+            chunks.append((bucket_w, idx_all[lo:lo + cap]))
     with T.stage("rec_dispatch"):
-        for bucket_w, idx in assign_width_buckets(
-                est_w, cfg.rec_width_buckets).items():
+        for bucket_w, idx in chunks:
             n = len(idx)
             nb = pad_count(n, cfg)
             sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
+            ws, oq = warp_src[sel], quads[sel]
             if cfg.rec_snap_to_ink:
                 strips, widths = warp_quads_multi_refined(
                     gray_dev, jnp.asarray(page_ids[sel]),
-                    jnp.asarray(warp_src[sel]), jnp.asarray(b_all[sel]),
+                    jnp.asarray(ws), jnp.asarray(b_all[sel]),
                     rec_height=cfg.rec_height, bucket_width=bucket_w,
                     ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
                     margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
                     x_margin_keep=cfg.rec_ink_x_margin_keep,
                     pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
-                    orig_quads=jnp.asarray(quads[sel]))
+                    orig_quads=jnp.asarray(oq))
             else:
                 strips, widths = warp_quads_multi(
                     gray_dev, jnp.asarray(page_ids[sel]),
-                    jnp.asarray(warp_src[sel]),
+                    jnp.asarray(ws),
                     rec_height=cfg.rec_height, bucket_width=bucket_w,
                     pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
-            out = _rec_strips_packed_jit(engine, strips, widths, beam=beam)
+            if try_flip:
+                # remap this dispatch's prior groups to dense local ids
+                # (the on-device scatter is sized to the dispatch rows);
+                # pad rows duplicate idx[-1] — give them solo groups so
+                # they can't overweight that page's prior
+                seg = np.unique(prior_ids[sel], return_inverse=True)[1]
+                seg[n:] = seg.max() + 1 + np.arange(nb - n)
+                out = _rec_strips_flip_packed_jit(
+                    engine, strips, widths,
+                    jnp.asarray(seg, jnp.int32), beam=beam)
+            else:
+                out = _rec_strips_packed_jit(
+                    engine, strips, widths, beam=beam)
             pending.append((idx, out))
         for _, out in pending:
             try:
@@ -116,12 +147,18 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
                 pass
     with T.stage("rec_fetch_decode"):
         for idx, out in pending:
-            tokens, n_tokens, conf = unpack_rec(
-                np.asarray(out), cfg.rec_max_tokens)
+            if try_flip:
+                tokens, n_tokens, conf, win = unpack_rec_flip(
+                    np.asarray(out), cfg.rec_max_tokens)
+            else:
+                tokens, n_tokens, conf = unpack_rec(
+                    np.asarray(out), cfg.rec_max_tokens)
             for k, qi in enumerate(idx):
                 texts[qi] = engine.charset.decode(tokens[k][: n_tokens[k]])
                 confs[qi] = float(conf[k])
-    return texts, confs
+                if try_flip:
+                    flips[qi] = bool(win[k])
+    return texts, confs, flips
 
 
 def ocr_pages(engine, images: Sequence, beam: bool = False
@@ -214,7 +251,7 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     # Dispatch every bucket's warp+rec program before reading ANY result and
     # start the host copies async: bucket k+1 computes while bucket k
     # downloads, and each bucket costs one fetch RTT instead of three.
-    texts, confs = recognize_pooled(
+    texts, confs, flips = recognize_pooled(
         engine, gray_dev, page_ids, quads, b_all, beam=beam, timer=timer)
 
     # ---- scatter back, reading order per page ------------------------------
@@ -223,7 +260,12 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
         if not mine:
             continue
         page_quads = [geometry.scale_quads(quads[s], scales[i]) for s in mine]
-        order = geometry.sort_reading_order(page_quads)
+        # a mostly-flipped page is upside down: read it bottom-right →
+        # top-left (= reading order of the 180°-rotated coordinates)
+        if sum(flips[s] for s in mine) * 2 > len(mine):
+            order = geometry.sort_reading_order([-q for q in page_quads])
+        else:
+            order = geometry.sort_reading_order(page_quads)
         results[i] = [
             OcrLine(box=DetBox(page_quads[k], float(qscores[mine[k]])),
                     text=texts[mine[k]], confidence=confs[mine[k]])

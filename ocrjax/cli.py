@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--det-max-side", type=int, default=None)
         sp.add_argument("--charset", default=None,
                         help="charset dict file (one char per line)")
+        sp.add_argument("--try-flip", action="store_true",
+                        help="180° disambiguation: recognize every line "
+                             "both ways (one doubled batch) and keep the "
+                             "higher-confidence reading; handles upside-"
+                             "down lines/pages at ~2x recognition cost")
         sp.add_argument("--viz", default=None, metavar="PATH",
                         help="write a debug visualization (detected quads +"
                              " text drawn on the page); for multiple inputs"
@@ -98,6 +103,8 @@ def _make_engine(args):
         v = getattr(args, flag)
         if v is not None:
             overrides[field] = v
+    if getattr(args, "try_flip", False):
+        overrides["rec_try_flip"] = True
     if overrides:
         engine.config = engine.config.replace(**overrides)
         engine._det = None  # force rebuild with new static config

@@ -64,6 +64,23 @@ class OcrConfig:
                                      # rejects side-neighbor ink leaking in
                                      # as phantom edge characters while
                                      # still recovering clipped slivers
+    rec_try_flip: bool = False       # 180° handling: the orientation
+                                     # classifier (models/cls, the PP-OCR
+                                     # "cls" stage) runs inside the rec
+                                     # program, rotating upside-down strips
+                                     # on device before the CRNN. Pages
+                                     # whose lines mostly flip also get
+                                     # their reading order reversed.
+                                     # Tiny extra cost; default off.
+    cls_page_prior: float = 2.0      # weight of the page-level orientation
+                                     # prior (width-weighted mean margin of
+                                     # the page's lines) added to each
+                                     # line's own cls margin: pages are
+                                     # almost never mixed-orientation, so
+                                     # short ambiguous lines borrow the
+                                     # page's decision; strong per-line
+                                     # evidence still overrides. 0 = pure
+                                     # per-line decisions.
     rec_hidden: int = 256            # BiLSTM hidden size
     rec_conv_channels: Tuple[int, ...] = (64, 128, 256, 512)
     ctc_blank: int = 0               # blank id (charset ids start at 1)

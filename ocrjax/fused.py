@@ -119,6 +119,19 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         strips = strips_bk.reshape(B * K, H, W)
         widths = widths_bk.reshape(B * K)
 
+        # ---- orientation (rec_try_flip, the PP-OCR "cls" stage) -------------
+        if cfg.rec_try_flip:
+            # same fused-graph classify+rotate as the staged path
+            # (api_det._cls_flip_strips); each page is one prior group and
+            # invalid lanes get zero prior weight so they can't vote
+            from ocrjax.api_det import _cls_flip_strips
+            seg = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+            pw = widths * line_valid.reshape(B * K).astype(widths.dtype)
+            strips, flip = _cls_flip_strips(
+                engine, strips, widths, seg_ids=seg, prior_weights=pw)
+        else:
+            flip = jnp.zeros((B * K,), bool)
+
         # ---- recognition + decode -------------------------------------------
         logits, frame_lengths = rec_model.apply(
             rec_vars, strips[..., None], widths)
@@ -131,26 +144,32 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             tokens, n_tokens, conf = ctc.ctc_greedy_decode(
                 logits, frame_lengths, blank=cfg.ctc_blank,
                 max_tokens=cfg.rec_max_tokens)
-        # Pack every output into ONE (B, K*(T+12)) float32 array: on the
-        # remote-TPU link each fetched buffer costs a full RTT (~33 ms
-        # measured), so 6 separate outputs would burn ~165 ms per batch.
-        # Token ids and counts are small ints — exact in float32.
+        # Pack every output into ONE (B, K*(T+12)) float32 array — K*(T+13)
+        # with the rec_try_flip column: on the remote-TPU link each fetched
+        # buffer costs a full RTT (~33 ms measured), so 6 separate outputs
+        # would burn ~165 ms per batch. Token ids and counts are small
+        # ints — exact in float32.
         T = cfg.rec_max_tokens
-        payload = jnp.concatenate([
+        parts = [
             tokens.astype(jnp.float32).reshape(B, K * T),
             n_tokens.astype(jnp.float32).reshape(B, K),
             conf.reshape(B, K),
             quads.reshape(B, K * 8),
             top_s.reshape(B, K),
             line_valid.astype(jnp.float32).reshape(B, K),
-        ], axis=1)
-        return payload
+        ]
+        if cfg.rec_try_flip:
+            parts.append(flip.astype(jnp.float32).reshape(B, K))
+        return jnp.concatenate(parts, axis=1)
 
     return fused
 
 
-def unpack_fused(payload: np.ndarray, K: int, max_tokens: int):
-    """Host-side inverse of the fused program's packed output row layout."""
+def unpack_fused(payload: np.ndarray, K: int, max_tokens: int,
+                 try_flip: bool = False):
+    """Host-side inverse of the fused program's packed output row layout.
+    try_flip must match the cfg.rec_try_flip the program was built with
+    (it appends one more (B, K) column of 180°-flip decisions)."""
     B = payload.shape[0]
     T = max_tokens
     o = 0
@@ -168,6 +187,8 @@ def unpack_fused(payload: np.ndarray, K: int, max_tokens: int):
         "quads": take(K * 8).reshape(B, K, 4, 2),
         "scores": take(K),
         "valid": take(K) > 0.5,
+        "flipped": (take(K) > 0.5 if try_flip
+                    else np.zeros((B, K), bool)),
     }
 
 
@@ -302,13 +323,15 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                 payloads.append(fetch_halving(grays, wh))
         payload = (np.concatenate(payloads) if len(payloads) > 1
                    else payloads[0])
-    out = unpack_fused(payload, lines_per_page, cfg.rec_max_tokens)
+    out = unpack_fused(payload, lines_per_page, cfg.rec_max_tokens,
+                       try_flip=cfg.rec_try_flip)
     tokens = out["tokens"]
     n_tokens = out["n_tokens"]
     conf = out["conf"]
     quads = out["quads"]
     scores = out["scores"]
     valid = out["valid"]
+    flipped = out["flipped"]
 
     results: List[OcrResult] = []
     reroute: List[int] = []
@@ -354,7 +377,12 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                 continue  # canvas-padding artifact
             qs.append(geometry.scale_quads(q, scales[i]))
             metas.append(k)
-        order = geometry.sort_reading_order(qs)
+        # an upside-down page (most lines flipped) reads bottom-right →
+        # top-left = the reading order of the 180°-rotated coordinates
+        if sum(flipped[i, k] for k in metas) * 2 > len(metas):
+            order = geometry.sort_reading_order([-q for q in qs])
+        else:
+            order = geometry.sort_reading_order(qs)
         for j in order:
             k = metas[j]
             text = engine.charset.decode(tokens[i, k][: n_tokens[i, k]])

@@ -260,6 +260,7 @@ def ocr_tiled(engine, image, beam: bool = False) -> "OcrResult":
 
     texts = [None] * len(quads)
     confs = [0.0] * len(quads)
+    flipped = [False] * len(quads)
 
     if pooled_idx:
         normed = [_gray_norm_jit(d, cfg.upload_bits,
@@ -267,15 +268,18 @@ def ocr_tiled(engine, image, beam: bool = False) -> "OcrResult":
                   for d in dev_tiles]
         gray_dev = (jnp.concatenate(normed, axis=0) if len(normed) > 1
                     else normed[0])
-        ptexts, pconfs = bucketing.recognize_pooled(
+        ptexts, pconfs, pflips = bucketing.recognize_pooled(
             engine, gray_dev,
             np.asarray(tile_ids, np.int32),
             np.asarray(tile_quads, np.float32),
             np.asarray(tile_bounds, np.float32)[:, None, :],
-            beam=beam, timer=getattr(engine, "stage_timer", None))
+            beam=beam, timer=getattr(engine, "stage_timer", None),
+            # all tiles belong to ONE document: one orientation-prior group
+            prior_ids=np.zeros(len(tile_ids), np.int32))
         for k, qi in enumerate(pooled_idx):
             texts[qi] = ptexts[k]
             confs[qi] = pconfs[k]
+            flipped[qi] = pflips[k]
 
     if host_idx:
         # host full-res crops with the same ink-crop canonicalization
@@ -296,12 +300,16 @@ def ocr_tiled(engine, image, beam: bool = False) -> "OcrResult":
                 margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
                 x_margin_keep=cfg.rec_ink_x_margin_keep)
                 if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
-        rs = engine.recognize_strips(strips, beam=beam)
+        rs = engine.recognize_strips(strips, beam=beam, same_page=True)
         for k, qi in enumerate(host_idx):
             texts[qi] = rs[k].text
             confs[qi] = rs[k].confidence
+            flipped[qi] = rs[k].flipped
 
-    order = geometry.sort_reading_order(quads)
+    if sum(flipped) * 2 > len(quads):  # upside-down document
+        order = geometry.sort_reading_order([-q for q in quads])
+    else:
+        order = geometry.sort_reading_order(quads)
     return OcrResult(lines=[
         OcrLine(box=DetBox(quads[i], ss[i]), text=texts[i],
                 confidence=confs[i])

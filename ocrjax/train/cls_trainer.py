@@ -1,0 +1,209 @@
+"""Orientation-classifier training (the PP-OCR "cls" stage's trainer).
+
+Reuses the recognizer's synthetic line renderer: every batch renders lines
+with the serving-distribution knobs (word-mode text, spaces, dither-
+transport noise, small residual rotation) and rotates a random half of the
+strips 180° in place (width-aware: content stays left-aligned, exactly what
+models.cls.flip_strips_by_width produces at serving time). Binary
+cross-entropy on the flip logit; the net is tiny, so this trains in
+minutes on CPU and seconds on the TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ocrjax import preprocess
+from ocrjax.charset import Charset, default_charset
+from ocrjax.config import OcrConfig
+from ocrjax.models.cls import create_cls
+from ocrjax.train import synth
+
+
+@dataclasses.dataclass
+class ClsTrainResult:
+    variables: Dict[str, Any]
+    history: list
+    accuracy: float
+
+
+def snap_rows_to_ink(rng: np.random.RandomState, batch: synth.LineBatch,
+                     p: float = 0.7, thresh: int = 128) -> None:
+    """In-place: crop a strip to its ink ROW band (+2px) and rescale to full
+    height — the serving transform (ops.warp two-pass ink refinement) that
+    rendered strips never show. It matters for orientation: refinement
+    pushes a no-descender line's baseline onto the strip's bottom edge,
+    erasing the absolute-baseline cue (measured: the crisp upright
+    'downstream' staged crop classified flipped at margin +5 while its
+    margin-padded render classified upright at −15)."""
+    import cv2
+    H = batch.images.shape[1]
+    for i in range(len(batch.widths)):
+        if rng.rand() >= p:
+            continue
+        w = int(batch.widths[i])
+        s = batch.images[i, :, :w]
+        rows = np.where((s < thresh).sum(axis=1) > 0)[0]
+        if len(rows) == 0:
+            continue
+        y0 = max(0, rows[0] - 2)
+        y1 = min(H, rows[-1] + 3)
+        band = s[y0:y1].copy()  # s views batch.images, zeroed next line
+        new_w = min(batch.images.shape[2],
+                    max(4, round(w * H / band.shape[0])))
+        batch.images[i] = 0
+        batch.images[i, :, :new_w] = cv2.resize(
+            band, (new_w, H), interpolation=cv2.INTER_LINEAR)
+        batch.widths[i] = new_w
+
+
+def flip_half(rng: np.random.RandomState, batch: synth.LineBatch
+              ) -> np.ndarray:
+    """Rotate a random half of the batch's strips 180° in place (within
+    each strip's valid width). Returns the (B,) float32 labels."""
+    B = len(batch.widths)
+    labels = (rng.rand(B) < 0.5).astype(np.float32)
+    for i in np.where(labels > 0.5)[0]:
+        w = int(batch.widths[i])
+        batch.images[i, :, :w] = batch.images[i, :, :w][::-1, ::-1]
+    return labels
+
+
+def make_cls_train_step(model, tx):
+    def loss_fn(params, images, widths, labels):
+        x = preprocess.rec_normalize(images)
+        logits = model.apply({"params": params}, x, widths)
+        return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+    @jax.jit
+    def step(params, opt_state, images, widths, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, images, widths, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train_cls(
+    config: Optional[OcrConfig] = None,
+    charset: Optional[Charset] = None,
+    steps: int = 1500,
+    batch_size: int = 64,
+    widths: tuple = (64, 128, 192, 320),
+    lr: float = 1e-3,
+    seed: int = 0,
+    eval_batches: int = 20,
+    log_every: int = 200,
+    verbose: bool = False,
+    engine=None,
+    crop_pages: int = 48,
+    p_crop: float = 0.5,
+) -> ClsTrainResult:
+    """widths: serving strips land in EVERY rec width bucket, so batches
+    cycle through these (one static program per width — same bucketing the
+    recognizer trains with); a classifier trained at one width misreads
+    longer lines (measured: the width-128-only model misflipped ~180px
+    words).
+
+    engine: when given, ~p_crop of the batches are REAL refined detector
+    crops (train.det_crops — render page → detect → two-pass refined warp,
+    the exact serving path). Pure rendered strips leave a warp-domain gap
+    the classifier falls into: measured margin on upright 'downstream' was
+    −15.3 on the rendered strip but +2.9 (misflipped) on the same line's
+    staged-path crop. Accuracy is evaluated on crops when available.
+    """
+    config = config or OcrConfig()
+    charset = charset or default_charset()
+    crop_sets = []
+    if engine is not None:
+        from ocrjax.train import det_crops
+        for ci, w in enumerate(w for w in widths if w >= 128):
+            crop_sets.append(det_crops.generate_det_crops(
+                engine, n_pages=crop_pages, width=w, seed=seed + 31 * ci,
+                p_word=0.5))
+            if verbose:
+                print(f"det crops @width {w}: "
+                      f"{len(crop_sets[-1].texts)} strips", flush=True)
+    model = create_cls(config)
+    rng = np.random.RandomState(seed)
+
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, config.rec_height, widths[0], 1), jnp.float32),
+        jnp.full((1,), widths[0], jnp.int32))
+    params = variables["params"]
+    tx = optax.adam(optax.schedules.cosine_decay_schedule(
+        lr, steps, alpha=0.1))
+    opt_state = tx.init(params)
+    step = make_cls_train_step(model, tx)
+
+    def batch_kwargs(width):
+        # longer buckets hold longer text (≈12px/char at h=32)
+        return dict(p_space=0.2, p_word=0.5, noise=0.02, quantize_p=0.3,
+                    max_rotation=3.0, max_len=max(4, width // 12))
+
+    from ocrjax.train import det_crops as DC
+
+    def make_batch(i):
+        if crop_sets and rng.rand() < p_crop:
+            return DC.sample_batch(crop_sets[i % len(crop_sets)], charset,
+                                   rng, batch_size)
+        w = widths[i % len(widths)]
+        lb = synth.make_line_batch(rng, charset, batch_size, w,
+                                   height=config.rec_height,
+                                   **batch_kwargs(w))
+        snap_rows_to_ink(rng, lb)  # serving geometry (see its docstring)
+        return lb
+
+    history = []
+    for it in range(steps):
+        lb = make_batch(it)
+        labels = flip_half(rng, lb)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(lb.images),
+            jnp.asarray(lb.widths), jnp.asarray(labels))
+        if it % log_every == 0:
+            history.append((it, float(loss)))
+            if verbose:
+                print(f"cls step {it}: loss {float(loss):.4f}", flush=True)
+
+    @jax.jit
+    def fwd(images, widths_):
+        x = preprocess.rec_normalize(images)
+        return model.apply({"params": params}, x, widths_)
+
+    eval_crops = []
+    if engine is not None:
+        # HELD-OUT crops (fresh pages, disjoint seed): the training pool is
+        # small enough to memorize, so evaluating on it reports ~1.0 while
+        # fresh-page accuracy is what serving sees
+        from ocrjax.train import det_crops
+        eval_crops.append(det_crops.generate_det_crops(
+            engine, n_pages=max(8, crop_pages // 4), width=192,
+            seed=seed + 7777, p_word=0.5))
+    hits = total = 0
+    for b in range(eval_batches):
+        if eval_crops:  # accuracy on the serving (warped-crop) distribution
+            lb = DC.sample_batch(eval_crops[b % len(eval_crops)], charset,
+                                 rng, batch_size)
+        else:
+            w = widths[b % len(widths)]
+            lb = synth.make_line_batch(rng, charset, batch_size, w,
+                                       height=config.rec_height,
+                                       **batch_kwargs(w))
+            snap_rows_to_ink(rng, lb)
+        labels = flip_half(rng, lb)
+        pred = np.asarray(fwd(jnp.asarray(lb.images),
+                              jnp.asarray(lb.widths))) > 0.0
+        hits += int((pred == (labels > 0.5)).sum())
+        total += len(labels)
+    return ClsTrainResult(variables={"params": params}, history=history,
+                          accuracy=hits / max(total, 1))

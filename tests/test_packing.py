@@ -67,6 +67,15 @@ def test_unpack_fused_layout():
     np.testing.assert_allclose(out["conf"], conf, rtol=1e-6)
     np.testing.assert_allclose(out["quads"], quads, rtol=1e-6)
     np.testing.assert_array_equal(out["valid"], valid)
+    assert not out["flipped"].any()  # absent column → all-upright
+
+    # rec_try_flip appends one more (B, K) column
+    flips = rng.rand(B, K) > 0.5
+    payload2 = np.concatenate(
+        [payload, flips.astype(np.float32).reshape(B, K)], axis=1)
+    out2 = unpack_fused(payload2, K, T, try_flip=True)
+    np.testing.assert_array_equal(out2["flipped"], flips)
+    np.testing.assert_array_equal(out2["valid"], valid)
 
 
 def test_ink_crop_host_tightens_and_pads():

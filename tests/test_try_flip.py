@@ -1,0 +1,308 @@
+"""rec_try_flip: 180° (upside-down) text handling.
+
+The PP-OCR lineage runs a separate direction-classifier stage between crop
+and recognition; the TPU-native equivalent here (ocrjax.models.cls) runs
+INSIDE the recognition XLA program: a tiny CNN classifies every rectified
+strip (symmetric ensemble over the strip and its rotation), the flips
+happen as a device gather, then the normal CRNN+CTC decode runs — no extra
+host round trips. Pages whose lines mostly flip read in reversed order.
+
+Decode-confidence comparison does NOT work for this model family and is
+deliberately not used: the CRNN is trained on random glyph strings, so a
+flipped strip decodes to other glyphs with equally high confidence
+(measured: neither mean, min, geometric-mean nor low-quantile frame
+probability separated orientations on the refined-warp path).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocrjax.config import TINY
+from ocrjax.train import synth
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from ocrjax.api import OcrEngine
+    return OcrEngine.from_pretrained()
+
+
+@pytest.fixture(scope="module")
+def flip_engine():
+    # separate engine instance: config is frozen, jit caches key on config
+    from ocrjax.api import OcrEngine
+    eng = OcrEngine.from_pretrained()
+    eng.config = eng.config.replace(rec_try_flip=True)
+    return eng
+
+
+def test_rot180_quads_warp_parity():
+    """Warping with the relabeled corners yields the 180°-rotated strip
+    (the geometric identity behind reading a quad upside down)."""
+    from ocrjax import geometry
+    from ocrjax.ops.warp import warp_quads
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(64, 96).astype(np.float32))
+    q = np.asarray([[[10.0, 12.0], [80.0, 14.0],
+                     [81.0, 34.0], [11.0, 32.0]]], np.float32)
+    s_up, w_up = warp_quads(img, jnp.asarray(q),
+                            rec_height=16, bucket_width=64)
+    s_fl, w_fl = warp_quads(img, jnp.asarray(geometry.rot180_quads(q)),
+                            rec_height=16, bucket_width=64)
+    assert int(w_up[0]) == int(w_fl[0])
+    w = int(w_up[0])
+    a = np.asarray(s_up)[0, :, :w]
+    b = np.asarray(s_fl)[0, :, :w][::-1, ::-1]
+    # bilinear sampling grids of the two readings coincide up to the
+    # half-pixel grid reflection — agree to a small tolerance
+    assert np.abs(a - b).mean() < 0.05, np.abs(a - b).mean()
+
+
+def test_flip_strips_by_width_matches_host():
+    """Device 180° strip rotation == host rotation of the valid region."""
+    from ocrjax.models.cls import flip_strips_by_width
+
+    rng = np.random.RandomState(1)
+    strips = rng.rand(4, 8, 32).astype(np.float32)
+    widths = np.asarray([32, 20, 7, 1], np.int32)
+    pad = -1.0
+    for i in range(4):
+        strips[i, :, widths[i]:] = pad
+    flip = np.asarray([True, True, False, True])
+    out = np.asarray(flip_strips_by_width(
+        jnp.asarray(strips), jnp.asarray(widths), jnp.asarray(flip), pad))
+    for i in range(4):
+        w = widths[i]
+        want = strips[i].copy()
+        if flip[i]:
+            want[:, :w] = strips[i, :, :w][::-1, ::-1]
+        np.testing.assert_allclose(out[i], want, atol=0)
+
+
+def test_apply_page_prior_math():
+    from ocrjax.api_det import apply_page_prior
+
+    margin = jnp.asarray([-4.0, -4.0, 1.0,   6.0, -1.0])
+    widths = jnp.asarray([100, 100, 100, 100, 100], jnp.int32)
+    seg = jnp.asarray([0, 0, 0, 3, 4], jnp.int32)
+    out = np.asarray(apply_page_prior(margin, widths, seg, 2.0))
+    # group 0 mean = -7/3: the weak +1 outlier is pulled below zero...
+    assert out[2] < 0
+    # ...while strong evidence in a solo group is amplified, not flipped
+    assert out[3] > 0 and out[4] < 0
+    # one STRONG vote against weak page-mates carries the page (margins are
+    # log-odds: |6| ≫ |−1| means the confident line is the evidence)
+    m2 = jnp.asarray([-1.0, -1.0, 6.0])
+    s2 = jnp.asarray([0, 0, 0], jnp.int32)
+    w2 = jnp.asarray([100, 100, 100], jnp.int32)
+    out2 = np.asarray(apply_page_prior(m2, w2, s2, 2.0))
+    assert (out2 > 0).all(), out2
+    # a VERY confident flipped outlier among confident upright mates still
+    # flips alone (rotated stamp) — it must out-evidence α× the page mean
+    m3 = jnp.asarray([-8.0, -8.0, 12.0])
+    out3 = np.asarray(apply_page_prior(m3, w2, s2, 2.0))
+    assert out3[2] > 0 and out3[0] < 0 and out3[1] < 0, out3
+    # ...and symmetrically, VERY confident upright mates cannot un-flip a
+    # confidently-flipped outlier: the consensus is built from CLIPPED
+    # margins, so one ±20-class line counts like a ±8 one
+    m4 = jnp.asarray([-23.0, -12.0, 12.7])
+    out4 = np.asarray(apply_page_prior(m4, w2, s2, 2.0))
+    assert out4[2] > 0 and out4[0] < 0 and out4[1] < 0, out4
+
+
+def test_cls_trainer_smoke():
+    """Trainer mechanics on a few steps (accuracy is asserted by the asset
+    gate below, not here)."""
+    from ocrjax.train.cls_trainer import train_cls
+    r = train_cls(config=TINY, steps=3, batch_size=8, widths=(64,),
+                  eval_batches=1, log_every=2)
+    assert "params" in r.variables
+    assert 0.0 <= r.accuracy <= 1.0
+
+
+def _cls_accuracy(flip_engine, p_word, min_chars, n=96, width=192,
+                  seed=7):
+    from ocrjax import preprocess
+    from ocrjax.api_det import _cls_flip_strips
+    from ocrjax.train.cls_trainer import flip_half, snap_rows_to_ink
+
+    cfg = flip_engine.config
+    rng = np.random.RandomState(seed)
+    hits = total = 0
+    while total < n:
+        lb = synth.make_line_batch(rng, flip_engine.charset, 64, width,
+                                   height=cfg.rec_height, p_word=p_word,
+                                   p_space=0.2, noise=0.02,
+                                   max_len=max(4, width // 12))
+        keep = [i for i, t in enumerate(lb.texts)
+                if len(t.replace(" ", "")) >= min_chars]
+        snap_rows_to_ink(rng, lb)  # serving geometry (ink-refined warp)
+        labels = flip_half(rng, lb)
+        x = preprocess.rec_normalize(jnp.asarray(lb.images),
+                                     cfg.rec_mean, cfg.rec_std)[..., 0]
+        _, flipped = _cls_flip_strips(flip_engine, x,
+                                      jnp.asarray(lb.widths))
+        pred = np.asarray(flipped)
+        hits += int((pred[keep] == (labels[keep] > 0.5)).sum())
+        total += len(keep)
+    return hits / total
+
+
+def test_cls_asset_accuracy_words(flip_engine):
+    """Orientation is well-defined for real words of ≥4 glyphs — the
+    classifier must be near-perfect there (these are the lines that decide
+    a page's orientation)."""
+    acc = _cls_accuracy(flip_engine, p_word=1.0, min_chars=4)
+    assert acc >= 0.95, acc
+
+
+def test_cls_asset_accuracy_random_glyphs(flip_engine):
+    """Random glyph strings include intrinsically 180°-ambiguous cases
+    (Z/N/s are rotationally symmetric; u↔n, d↔p, 6↔9, {↔} swap into other
+    valid glyphs; '.'/''' snap to featureless blobs), so the per-line gate
+    is lower — serving resolves these via the page prior
+    (cfg.cls_page_prior)."""
+    acc = _cls_accuracy(flip_engine, p_word=0.0, min_chars=1)
+    assert acc >= 0.85, acc
+
+
+def test_recognize_strip_flip_c1(flip_engine):
+    text = "Forward 42"
+    strip = synth.render_line(text, flip_engine.config.rec_height)
+    up = flip_engine.recognize(strip)
+    down = flip_engine.recognize(strip[::-1, ::-1])
+    assert up.text == text and not up.flipped
+    assert down.text == text and down.flipped
+
+
+def test_recognize_strip_no_flip_flag_reads_garbage(engine):
+    text = "Forward 42"
+    strip = synth.render_line(text, engine.config.rec_height)
+    down = engine.recognize(strip[::-1, ::-1])
+    assert down.text != text  # guards that the feature is load-bearing
+
+
+def test_ocr_upside_down_page_matches_upright(engine, flip_engine):
+    rng = np.random.RandomState(5)
+    page, _, texts = synth.render_page(rng, engine.charset)
+    img = np.repeat(page[..., None], 3, axis=2)
+    img180 = img[::-1, ::-1]
+
+    up = engine.ocr(img)
+    flip = flip_engine.ocr(img180)
+    got_up = [l.text for l in up.lines]
+    got_flip = [l.text for l in flip.lines]
+    # the flipped render re-samples every glyph at a half-pixel reflection,
+    # so allow a couple of single-glyph confusions (l/I class) vs upright
+    assert len(got_flip) == len(got_up), (got_up, got_flip)
+    both = [t for t in got_up if t in got_flip]
+    assert len(both) >= len(texts) - 2, (got_up, got_flip)
+
+    # without try-flip the upside-down page reads garbage
+    plain = engine.ocr(img180)
+    wrong = sum(l.text not in texts for l in plain.lines)
+    assert wrong * 2 > max(len(plain.lines), 1), \
+        [l.text for l in plain.lines]
+
+
+def test_upside_down_stacked_page_reading_order(flip_engine):
+    """A fully upside-down stacked-lines page reads top-to-bottom in the
+    ORIGINAL orientation (majority flip reverses the sort)."""
+    # single words (the detector may split wide word gaps into two boxes on
+    # this synthetic render — a granularity artifact, not an order one) and
+    # no l/I confusables (the flipped render re-samples glyphs at a
+    # half-pixel offset and can tip those)
+    texts = ["alphabet", "mountain", "downstream"]
+    page = np.full((320, 480), 255, np.uint8)
+    for t, y in zip(texts, (40, 130, 220)):
+        s = synth.render_line(t, 32)
+        w = min(s.shape[1], 440)
+        page[y:y + 32, 20:20 + w] = s[:, :w]
+    img180 = np.repeat(page[..., None], 3, axis=2)[::-1, ::-1]
+    res = flip_engine.ocr(img180)
+    assert [l.text for l in res.lines] == texts, \
+        [l.text for l in res.lines]
+
+
+def test_mixed_page_flips_only_the_rotated_line(flip_engine):
+    """One upside-down line among upright ones: line-level flip, page-level
+    order stays upright."""
+    page = np.full((320, 480), 255, np.uint8)
+    texts = ["alphabet", "mountain", "downstream"]
+    ys = (40, 130, 220)
+    flip_i = 1
+    for i, (t, y) in enumerate(zip(texts, ys)):
+        s = synth.render_line(t, 32)
+        if i == flip_i:
+            s = s[::-1, ::-1]
+        w = min(s.shape[1], 440)
+        page[y:y + 32, 20:20 + w] = s[:, :w]
+    img = np.repeat(page[..., None], 3, axis=2)
+    res = flip_engine.ocr(img)
+    got = [l.text for l in res.lines]
+    assert got == texts, got
+
+
+def _stacked_page(texts, flip_idx=(), ys=(40, 130, 220)):
+    page = np.full((320, 480), 255, np.uint8)
+    for i, (t, y) in enumerate(zip(texts, ys)):
+        s = synth.render_line(t, 32)
+        if i in flip_idx:
+            s = s[::-1, ::-1]
+        w = min(s.shape[1], 440)
+        page[y:y + 32, 20:20 + w] = s[:, :w]
+    return np.repeat(page[..., None], 3, axis=2)
+
+
+def test_fused_batch_flip_lanes(flip_engine):
+    """The fused program's orientation lanes: a batch holding an upright
+    page and a fully-flipped page — both read correctly, the flipped one
+    in reversed (original-orientation) reading order, through
+    ocr_batch(fused=True)."""
+    texts = ["alphabet", "mountain", "downstream"]
+    up = _stacked_page(texts)
+    down = _stacked_page(texts)[::-1, ::-1]
+    r_up, r_down = flip_engine.ocr_batch([up, down], fused=True)
+    assert [l.text for l in r_up.lines] == texts, \
+        [l.text for l in r_up.lines]
+    assert [l.text for l in r_down.lines] == texts, \
+        [l.text for l in r_down.lines]
+
+
+def test_staged_path_flip_matches_fused(flip_engine):
+    """force_staged exercises the bucketed-path flip lanes on the same
+    flipped page the fused test reads."""
+    from ocrjax import api_det
+    texts = ["alphabet", "mountain", "downstream"]
+    down = _stacked_page(texts)[::-1, ::-1]
+    res = api_det.ocr(flip_engine, down, force_staged=True)
+    assert [l.text for l in res.lines] == texts, \
+        [l.text for l in res.lines]
+
+
+def test_recognize_pooled_flip_chunks_over_count_cap():
+    """Mechanics on TINY (random weights): the pooled path splits a width
+    bucket larger than the count cap instead of crashing, and in flip mode
+    returns one (text, conf, flip) triple per quad."""
+    from ocrjax.api import OcrEngine
+    from ocrjax import bucketing
+
+    eng = OcrEngine(config=TINY.replace(rec_try_flip=True))
+    cap = TINY.line_batch_buckets[-1]
+    n = cap + 3
+    rng = np.random.RandomState(1)
+    gray = jnp.asarray(rng.rand(2, 96, 96).astype(np.float32))
+    x0 = rng.randint(4, 40, size=n).astype(np.float32)
+    y0 = rng.randint(4, 70, size=n).astype(np.float32)
+    quads = np.stack([
+        np.stack([x0, y0], -1), np.stack([x0 + 40, y0], -1),
+        np.stack([x0 + 40, y0 + 10], -1), np.stack([x0, y0 + 10], -1),
+    ], axis=1).astype(np.float32)
+    page_ids = (np.arange(n) % 2).astype(np.int32)
+    b_all = np.full((n, 1, 2), 95.0, np.float32)
+    texts, confs, flips = bucketing.recognize_pooled(
+        eng, gray, page_ids, quads, b_all)
+    assert len(texts) == len(confs) == len(flips) == n
+    assert all(t is not None for t in texts)
