@@ -108,6 +108,38 @@ def test_rotated_pages_e2e_on_tpu():
     assert exact / tot >= 0.92, (exact, tot)
 
 
+def test_try_flip_e2e_on_tpu():
+    """rec_try_flip on hardware: upside-down renders of full pages read as
+    well as upright ones (fused path flip lanes + reversed reading order),
+    and the orientation stage costs no quality on upright pages."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.train import synth
+
+    eng = OcrEngine.from_pretrained()
+    eng.config = eng.config.replace(rec_try_flip=True)
+    rng = np.random.RandomState(11)
+    tot = exact_up = exact_dn = 0
+    for _ in range(3):
+        page, quads, texts = synth.render_page(rng, eng.charset)
+        img = np.repeat(page[..., None], 3, axis=2)
+        up = [l.text for l in eng.ocr(img).lines]
+        dn = [l.text for l in eng.ocr(img[::-1, ::-1]).lines]
+        tot += len(texts)
+        rem_u, rem_d = list(texts), list(texts)
+        for p in up:
+            if p in rem_u:
+                rem_u.remove(p)
+                exact_up += 1
+        for p in dn:
+            if p in rem_d:
+                rem_d.remove(p)
+                exact_dn += 1
+    assert exact_up / tot >= 0.90, (exact_up, tot)
+    # the flipped render re-samples every glyph at a half-pixel reflection
+    # (see tests/test_try_flip.py) — allow a small extra hit
+    assert exact_dn / tot >= 0.85, (exact_dn, tot)
+
+
 def test_c5_tiled_e2e_on_tpu():
     """C5 on hardware: 2048px page → tiled detect → pooled tile-based
     ink-refined recognition (engine.ocr_tiled — the API path).
