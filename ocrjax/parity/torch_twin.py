@@ -147,6 +147,49 @@ class TorchCRNN(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Orientation-classifier twin (the rec_try_flip "cls" stage)
+# ---------------------------------------------------------------------------
+
+class TorchCLS(nn.Module):
+    """Twin of ocrjax.models.cls.OrientationClassifier (eval mode).
+
+    Input (B, 1, H, W) normalized grayscale + (B,) valid widths → (B,)
+    logit of "flipped". Mirrors the flax module's width-masked mean∥max
+    pooling over W (row axis survives into the head) and its H'-major
+    flatten order.
+    """
+
+    def __init__(self, channels: Sequence[int] = (32, 64, 128),
+                 input_height: int = 32):
+        super().__init__()
+        convs, cin = [], 1
+        for ch in channels:
+            convs.append(ConvSame(cin, ch, stride=2))
+            cin = ch
+        self.convs = nn.ModuleList(convs)
+        self.stride = 2 ** len(channels)
+        feat = (input_height // self.stride) * channels[-1] * 2
+        self.fc1 = nn.Linear(feat, 64)
+        self.fc2 = nn.Linear(64, 1)
+
+    def forward(self, x, widths):
+        for c in self.convs:
+            x = F.relu(c(x))                                # (B, C, H', W')
+        w_cols = torch.div(widths + self.stride - 1, self.stride,
+                           rounding_mode="floor")
+        cols = torch.arange(x.shape[3], device=x.device)
+        m = (cols[None, :] < w_cols[:, None]).float()       # (B, W')
+        m4 = m[:, None, None, :]
+        mean = (x * m4).sum(3) / m4.sum(3).clamp(min=1.0)   # (B, C, H')
+        mx = x.masked_fill(m4 == 0, float("-inf")).max(dim=3).values
+        mx = torch.where(torch.isfinite(mx), mx, torch.zeros_like(mx))
+        pooled = torch.cat([mean.permute(0, 2, 1),
+                            mx.permute(0, 2, 1)], dim=2)    # (B, H', 2C)
+        h = F.relu(self.fc1(pooled.reshape(pooled.shape[0], -1)))
+        return self.fc2(h)[:, 0]
+
+
+# ---------------------------------------------------------------------------
 # DB detector twin
 # ---------------------------------------------------------------------------
 

@@ -314,6 +314,34 @@ def crnn_torch_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _cls_key_table(n_convs: int = 3):
+    t = []
+    for i in range(n_convs):
+        t.append((f"params/Conv_{i}/kernel", f"convs.{i}.weight", "conv"))
+        t.append((f"params/Conv_{i}/bias", f"convs.{i}.bias", "vec"))
+    t.append(("params/Dense_0/kernel", "fc1.weight", "linear"))
+    t.append(("params/Dense_0/bias", "fc1.bias", "vec"))
+    t.append(("params/Dense_1/kernel", "fc2.weight", "linear"))
+    t.append(("params/Dense_1/bias", "fc2.bias", "vec"))
+    return t
+
+
+def cls_variables_from_torch(state_dict: Mapping, n_convs: int = 3
+                             ) -> Dict[str, Any]:
+    """Torch orientation-classifier checkpoint → flax variables."""
+    flat = {fk: _t2f(_np(state_dict[tk]), kind)
+            for fk, tk, kind in _cls_key_table(n_convs)}
+    return _unflatten(flat)
+
+
+def cls_torch_state_dict(variables: Mapping, n_convs: int = 3
+                         ) -> Dict[str, np.ndarray]:
+    """Flax orientation-classifier variables → torch twin state dict."""
+    flat = _flatten(variables)
+    return {tk: _f2t(np.asarray(flat[fk]), kind)
+            for fk, tk, kind in _cls_key_table(n_convs)}
+
+
 def db_variables_from_torch(state_dict: Mapping,
                             channels=(64, 128, 256, 512),
                             blocks_per_stage: int = 2) -> Dict[str, Any]:

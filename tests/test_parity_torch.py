@@ -233,6 +233,82 @@ def test_db_torch_to_flax_converter_dropin():
 # 20-page end-to-end golden parity with the shipped assets
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Orientation-classifier twin (rec_try_flip "cls" stage)
+# ---------------------------------------------------------------------------
+
+def _cls_pair(channels=(8, 12, 16)):
+    from ocrjax.models.cls import OrientationClassifier
+    from ocrjax.parity.torch_twin import TorchCLS
+    return (OrientationClassifier(channels=channels,
+                                  compute_dtype="float32"),
+            TorchCLS(channels=channels))
+
+
+def test_cls_flax_to_torch_logit_parity():
+    rng = np.random.RandomState(3)
+    imgs, widths = _rand_strips(rng)
+    model, twin = _cls_pair()
+    variables = model.init(jax.random.PRNGKey(4),
+                           jnp.asarray(imgs), jnp.asarray(widths))
+    logit_f = np.asarray(model.apply(variables, jnp.asarray(imgs),
+                                     jnp.asarray(widths)))
+    twin = _load_twin(twin, W.cls_torch_state_dict(variables))
+    with torch.no_grad():
+        logit_t = twin(torch.tensor(imgs.transpose(0, 3, 1, 2)),
+                       torch.tensor(widths)).numpy()
+    np.testing.assert_allclose(logit_f, logit_t, atol=5e-3)
+
+
+def test_cls_torch_to_flax_converter_dropin():
+    rng = np.random.RandomState(5)
+    imgs, widths = _rand_strips(rng)
+    model, twin = _cls_pair()
+    twin = twin.eval()
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, W.cls_variables_from_torch(sd))
+    logit_f = np.asarray(model.apply(variables, jnp.asarray(imgs),
+                                     jnp.asarray(widths)))
+    with torch.no_grad():
+        logit_t = twin(torch.tensor(imgs.transpose(0, 3, 1, 2)),
+                       torch.tensor(widths)).numpy()
+    np.testing.assert_allclose(logit_f, logit_t, atol=5e-3)
+
+
+def test_cls_shipped_asset_decision_parity():
+    """The shipped orientation asset through both frameworks: same
+    symmetric-ensemble flip decisions on rendered strips (float32 flax vs
+    float32 torch; the serving bf16 path is gated separately in
+    tests/test_try_flip.py)."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.models.cls import OrientationClassifier
+    from ocrjax.parity.torch_twin import TorchCLS
+    from ocrjax.train import synth
+    from ocrjax import preprocess
+
+    engine = OcrEngine.from_pretrained()
+    cfg = engine.config
+    model = OrientationClassifier(compute_dtype="float32")
+    variables = engine.cls_variables
+    twin = _load_twin(TorchCLS(), W.cls_torch_state_dict(variables))
+
+    rng = np.random.RandomState(6)
+    from ocrjax.train.cls_trainer import flip_half
+    lb = synth.make_line_batch(rng, engine.charset, 32, 192,
+                               height=cfg.rec_height, p_word=0.7,
+                               max_len=14)
+    flip_half(rng, lb)
+    x = np.asarray(preprocess.rec_normalize(
+        jnp.asarray(lb.images), cfg.rec_mean, cfg.rec_std))
+    widths = lb.widths.astype(np.int32)
+    logit_f = np.asarray(model.apply(variables, jnp.asarray(x),
+                                     jnp.asarray(widths)))
+    with torch.no_grad():
+        logit_t = twin(torch.tensor(x.transpose(0, 3, 1, 2)),
+                       torch.tensor(widths)).numpy()
+    np.testing.assert_allclose(logit_f, logit_t, atol=1e-2, rtol=1e-3)
+
+
 def _iou_quad(a: np.ndarray, b: np.ndarray) -> float:
     import cv2
     span = np.concatenate([a, b]).max(axis=0).astype(int) + 2
