@@ -98,6 +98,7 @@ class OcrEngine:
         # trained weights come from assets/cls.safetensors (from_pretrained)
         from ocrjax.models.cls import create_cls
         self.cls_model = create_cls(self.config)
+        self._cls_trained = cls_variables is not None
         if cls_variables is None:
             cls_variables = self.cls_model.init(
                 key,
@@ -106,6 +107,20 @@ class OcrEngine:
                 jnp.full((1,), self.config.rec_width_buckets[0], jnp.int32))
         self.cls_variables = cls_variables
         self._det = None  # built lazily by detection methods (ocrjax.models.db)
+
+    def warn_untrained_cls(self):
+        """One-time warning when rec_try_flip runs on a RANDOM-INIT
+        orientation classifier (no cls checkpoint was loaded): flip
+        decisions would be arbitrary. Called by the dispatch paths."""
+        if self._cls_trained or getattr(self, "_cls_warned", False):
+            return
+        self._cls_warned = True
+        from ocrjax.utils.logging import get_logger, log_fields
+        log_fields(get_logger("ocrjax.api"), "warning",
+                   "rec_try_flip is enabled but no trained orientation "
+                   "classifier was loaded (assets/cls.safetensors) — flip "
+                   "decisions come from a random-init net",
+                   trained=False)
 
     # ------------------------------------------------------------------
     # Recognition (C1 single / C4 batched)
@@ -177,6 +192,7 @@ class OcrEngine:
             widths = np.concatenate(
                 [widths, np.full((nb - rows,), batch.shape[2], np.int32)])
         if try_flip:
+            self.warn_untrained_cls()
             if same_page:  # real rows share group 0; pad rows vote alone
                 seg = np.concatenate(
                     [np.zeros(n, np.int32), np.arange(1, nb - n + 1)])

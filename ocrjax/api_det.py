@@ -238,6 +238,7 @@ def ocr(engine, image, beam: bool = False,
     if cfg.rec_try_flip:
         # one page: real rows share the prior group; pad rows (duplicates
         # of the last quad) vote alone so they can't overweight it
+        engine.warn_untrained_cls()
         seg = np.concatenate([np.zeros(n, np.int32),
                               np.arange(1, nb - n + 1, dtype=np.int32)])
         packed = np.asarray(_rec_strips_flip_packed_jit(

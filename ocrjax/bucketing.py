@@ -92,6 +92,8 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
     confs = [0.0] * len(quads)
     flips = [False] * len(quads)
     try_flip = cfg.rec_try_flip
+    if try_flip:
+        engine.warn_untrained_cls()
     if prior_ids is None:
         prior_ids = page_ids
     pending = []

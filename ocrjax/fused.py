@@ -214,6 +214,8 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     B = len(images)
     if B == 0:
         return []
+    if cfg.rec_try_flip:
+        engine.warn_untrained_cls()
     # The program closes over every config field EXCEPT the four detection
     # thresholds (those are traced args, see make_fused_ocr_fn), so the
     # cache key is the config with thresholds normalized out — threshold

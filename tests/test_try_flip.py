@@ -282,6 +282,29 @@ def test_staged_path_flip_matches_fused(flip_engine):
         [l.text for l in res.lines]
 
 
+def test_untrained_cls_warns_once(caplog):
+    """rec_try_flip on an engine with NO cls checkpoint: flip decisions
+    come from a random-init net — the dispatch paths must say so (once)."""
+    import logging
+    from ocrjax.api import OcrEngine
+
+    from ocrjax.utils.logging import get_logger
+
+    eng = OcrEngine(config=TINY.replace(rec_try_flip=True))
+    strip = (np.random.RandomState(0).rand(TINY.rec_height, 40)
+             * 255).astype(np.uint8)
+    logger = get_logger("ocrjax.api")
+    logger.propagate = True  # let caplog's root handler see it
+    try:
+        with caplog.at_level(logging.WARNING, logger="ocrjax.api"):
+            eng.recognize_strips([strip])
+            eng.recognize_strips([strip])
+    finally:
+        logger.propagate = False
+    warns = [r for r in caplog.records if "random-init" in r.getMessage()]
+    assert len(warns) == 1, [r.getMessage() for r in caplog.records]
+
+
 def test_recognize_pooled_flip_chunks_over_count_cap():
     """Mechanics on TINY (random weights): the pooled path splits a width
     bucket larger than the count cap instead of crashing, and in flip mode
