@@ -140,17 +140,19 @@ class OcrEngine:
         return decode(logits, frame_lengths, **kw)
 
     @functools.partial(jax.jit, static_argnames=("self", "beam"))
-    def _rec_step_flip(self, variables, batch_u8, widths, seg_ids,
-                       beam: bool = False):
+    def _rec_step_flip(self, variables, cls_variables, batch_u8, widths,
+                       seg_ids, beam: bool = False):
         """_rec_step with the orientation-classifier stage in front: each
         strip is classified and conditionally rotated 180° on device before
         the CRNN (api_det._cls_flip_strips; seg_ids groups page-mates for
-        the orientation prior). Returns (tokens, n_tokens, conf,
-        flipped)."""
+        the orientation prior). cls_variables are traced like the rec
+        variables so weight swaps take effect without retracing. Returns
+        (tokens, n_tokens, conf, flipped)."""
         from ocrjax.api_det import _cls_flip_strips
         x = preprocess.rec_normalize(
             batch_u8, self.config.rec_mean, self.config.rec_std)
-        strips, flipped = _cls_flip_strips(self, x[..., 0], widths, seg_ids)
+        strips, flipped = _cls_flip_strips(self, cls_variables,
+                                           x[..., 0], widths, seg_ids)
         logits, frame_lengths = self.rec_model.apply(
             variables, strips[..., None], widths)
         decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
@@ -193,14 +195,17 @@ class OcrEngine:
                 [widths, np.full((nb - rows,), batch.shape[2], np.int32)])
         if try_flip:
             self.warn_untrained_cls()
+            # size from the ACTUAL batch rows — when n exceeds the largest
+            # count bucket, line_bucket_for_count clamps and nb < n
+            total = batch.shape[0]
             if same_page:  # real rows share group 0; pad rows vote alone
                 seg = np.concatenate(
-                    [np.zeros(n, np.int32), np.arange(1, nb - n + 1)])
+                    [np.zeros(n, np.int32), np.arange(1, total - n + 1)])
             else:
-                seg = np.arange(nb)
+                seg = np.arange(total)
             out = self._rec_step_flip(
-                self.rec_variables, jnp.asarray(batch), jnp.asarray(widths),
-                jnp.asarray(seg, jnp.int32), beam=beam)
+                self.rec_variables, self.cls_variables, jnp.asarray(batch),
+                jnp.asarray(widths), jnp.asarray(seg, jnp.int32), beam=beam)
             tokens, n_tokens, conf, win = map(np.asarray, out)
         else:
             out = self._rec_step(self.rec_variables, jnp.asarray(batch),

@@ -242,7 +242,8 @@ def ocr(engine, image, beam: bool = False,
         seg = np.concatenate([np.zeros(n, np.int32),
                               np.arange(1, nb - n + 1, dtype=np.int32)])
         packed = np.asarray(_rec_strips_flip_packed_jit(
-            engine, strips, widths, jnp.asarray(seg), beam=beam))
+            engine, engine.cls_variables, strips, widths,
+            jnp.asarray(seg), beam=beam))
         tokens, n_tokens, conf, flips = unpack_rec_flip(
             packed, cfg.rec_max_tokens)
         if flips[:n].sum() * 2 > n:  # upside-down page: reversed order
@@ -306,7 +307,7 @@ def unpack_rec(packed: np.ndarray, max_tokens: int):
             packed[:, T + 1])
 
 
-def _cls_flip_strips(engine, strips, widths, seg_ids=None,
+def _cls_flip_strips(engine, cls_variables, strips, widths, seg_ids=None,
                      prior_weights=None):
     """Orientation stage inside a rec program: classify every strip AND its
     180° rotation (symmetric ensemble — the relative margin
@@ -332,6 +333,19 @@ def _cls_flip_strips(engine, strips, widths, seg_ids=None,
     overrides the per-line prior weight (defaults to widths; the fused
     program passes width·valid so its padding lanes can't vote).
     """
+    rot, margin = _cls_margins(engine, cls_variables, strips, widths)
+    cfg = engine.config
+    if seg_ids is not None and cfg.cls_page_prior > 0:
+        w = widths if prior_weights is None else prior_weights
+        margin = apply_page_prior(margin, w, seg_ids,
+                                  cfg.cls_page_prior)
+    flipped = margin > 0
+    return jnp.where(flipped[:, None, None], rot, strips), flipped
+
+
+def _cls_margins(engine, cls_variables, strips, widths):
+    """Symmetric-ensemble orientation margins: (rot180 strips,
+    logit(s) − logit(rot180(s))) — positive means "flipped"."""
     from ocrjax.models import cls as C
 
     cfg = engine.config
@@ -340,16 +354,9 @@ def _cls_flip_strips(engine, strips, widths, seg_ids=None,
         strips, widths, jnp.ones(strips.shape[:1], bool), pad)
     both = jnp.concatenate([strips, rot], axis=0)
     w2 = jnp.concatenate([widths, widths], axis=0)
-    logit = engine.cls_model.apply(
-        engine.cls_variables, both[..., None], w2)
+    logit = engine.cls_model.apply(cls_variables, both[..., None], w2)
     n = strips.shape[0]
-    margin = logit[:n] - logit[n:]
-    if seg_ids is not None and cfg.cls_page_prior > 0:
-        w = widths if prior_weights is None else prior_weights
-        margin = apply_page_prior(margin, w, seg_ids,
-                                  cfg.cls_page_prior)
-    flipped = margin > 0
-    return jnp.where(flipped[:, None, None], rot, strips), flipped
+    return rot, logit[:n] - logit[n:]
 
 
 def apply_page_prior(margin, widths, seg_ids, alpha: float,
@@ -374,14 +381,15 @@ def apply_page_prior(margin, widths, seg_ids, alpha: float,
 
 
 @functools.partial(jax.jit, static_argnames=("engine", "beam"))
-def _rec_strips_flip_packed_jit(engine, strips, widths, seg_ids,
-                                beam: bool = False):
+def _rec_strips_flip_packed_jit(engine, cls_variables, strips, widths,
+                                seg_ids, beam: bool = False):
     """rec_try_flip engine room: orientation-classify + conditionally
     rotate each strip (see _cls_flip_strips; seg_ids groups page-mates for
     the orientation prior), then the normal CRNN + CTC decode — one XLA
     program, one fetched (N, T+3) buffer.
     Packed columns: T tokens, n_tokens, conf, flip(0/1)."""
-    strips, flipped = _cls_flip_strips(engine, strips, widths, seg_ids)
+    strips, flipped = _cls_flip_strips(engine, cls_variables, strips,
+                                       widths, seg_ids)
     tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
         engine, strips, widths, beam=beam)
     return jnp.concatenate([
@@ -389,6 +397,48 @@ def _rec_strips_flip_packed_jit(engine, strips, widths, seg_ids,
         n_tokens[:, None].astype(jnp.float32),
         conf[:, None],
         flipped[:, None].astype(jnp.float32),
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "bucket_width"))
+def _cls_margins_multi_jit(engine, cls_variables, gray_dev, page_ids,
+                           quads, bucket_width: int):
+    """Orientation margins for a chunk of quads warped off multi-page
+    canvases — the pooled path's PHASE A: margins for every quad come back
+    to the host, the page prior runs there over FULL page groups (page-
+    mates in different width buckets share the consensus — a per-dispatch
+    prior would fragment it), and the resulting flip decisions feed the
+    rec dispatches (_rec_strips_forced_flip_packed_jit)."""
+    from ocrjax.ops.warp import warp_quads_multi
+
+    cfg = engine.config
+    strips, widths = warp_quads_multi(
+        gray_dev, page_ids, quads, rec_height=cfg.rec_height,
+        bucket_width=bucket_width,
+        pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
+    _, margin = _cls_margins(engine, cls_variables, strips, widths)
+    return margin
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "beam"))
+def _rec_strips_forced_flip_packed_jit(engine, strips, widths, flip,
+                                       beam: bool = False):
+    """_rec_strips_flip_packed_jit with the flip DECISIONS precomputed
+    (the pooled path's PHASE B output): rotate the chosen strips on
+    device, recognize, pack. Same (n, T+3) layout as the deciding
+    variant."""
+    from ocrjax.models import cls as C
+
+    cfg = engine.config
+    strips = C.flip_strips_by_width(
+        strips, widths, flip, (0.0 - cfg.rec_mean) / cfg.rec_std)
+    tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
+        engine, strips, widths, beam=beam)
+    return jnp.concatenate([
+        tokens.astype(jnp.float32),
+        n_tokens[:, None].astype(jnp.float32),
+        conf[:, None],
+        flip[:, None].astype(jnp.float32),
     ], axis=1)
 
 

@@ -132,12 +132,14 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
                          cfg.det_unclip_ratio, float(cfg.det_min_box_size)],
                         jnp.float32)
     wh_d = jnp.full((C, 2), float(cfg.det_max_side), jnp.float32)
-    fn(st.variables, engine.rec_variables, grays_d, thr_d,
+    fn(st.variables, engine.rec_variables, engine.cls_variables,
+       grays_d, thr_d,
        wh_d).block_until_ready()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        fn(st.variables, engine.rec_variables, grays_d, thr_d,
+        fn(st.variables, engine.rec_variables, engine.cls_variables,
+       grays_d, thr_d,
            wh_d).block_until_ready()
         times.append(time.perf_counter() - t0)
     report["pages_per_sec_device"] = C / min(times)

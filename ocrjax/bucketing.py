@@ -64,14 +64,18 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
     b_all: (N, 1, 2) float32 per-quad valid (max_x, max_y) bounds.
     Returns (texts, confs, flipped) aligned with quads; flipped[i] is True
     when cfg.rec_try_flip's orientation classifier rotated that strip 180°
-    on device before recognition (api_det._cls_flip_strips). prior_ids
-    groups quads sharing a PAGE for the orientation prior (tiles of one
-    document should share a group); defaults to page_ids.
+    on device before recognition. Flip decisions come from a page-wide
+    two-phase pass (margins for all quads → host page prior over FULL
+    prior_ids groups → forced flips in the rec dispatches), so page-mates
+    in different width buckets share one consensus. prior_ids groups quads
+    sharing a PAGE (tiles of one document should share a group); defaults
+    to page_ids.
     """
-    from ocrjax.api_det import (_estimate_strip_widths,
-                                _rec_strips_flip_packed_jit,
-                                _rec_strips_packed_jit, unpack_rec,
-                                unpack_rec_flip)
+    from ocrjax.api_det import (_cls_margins_multi_jit,
+                                _estimate_strip_widths,
+                                _rec_strips_forced_flip_packed_jit,
+                                _rec_strips_packed_jit, apply_page_prior,
+                                unpack_rec, unpack_rec_flip)
 
     cfg = engine.config
     T = timer if timer is not None else _NullStage()
@@ -106,6 +110,40 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
             est_w, cfg.rec_width_buckets).items():
         for lo in range(0, len(idx_all), cap):
             chunks.append((bucket_w, idx_all[lo:lo + cap]))
+    flips_all = None
+    if try_flip:
+        # PHASE A+B of the page-wide orientation pass: margins for EVERY
+        # quad (chunked, all dispatched ahead, plain probe warps), then the
+        # page prior on host over the FULL prior_ids groups — page-mates in
+        # different width buckets share the consensus, which a per-dispatch
+        # prior would fragment exactly for the short ambiguous lines the
+        # prior exists for. Costs one extra (tiny) fetch per chunk before
+        # the rec dispatches.
+        with T.stage("cls_margins"):
+            margins = np.zeros(len(quads), np.float32)
+            mpend = []
+            for bucket_w, idx in chunks:
+                n = len(idx)
+                nb = pad_count(n, cfg)
+                sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
+                out = _cls_margins_multi_jit(
+                    engine, engine.cls_variables, gray_dev,
+                    jnp.asarray(page_ids[sel]), jnp.asarray(warp_src[sel]),
+                    bucket_w)
+                mpend.append((idx, out))
+            for _, out in mpend:
+                try:
+                    out.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            for idx, out in mpend:
+                margins[idx] = np.asarray(out)[: len(idx)]
+            if cfg.cls_page_prior > 0:
+                seg = np.unique(prior_ids, return_inverse=True)[1]
+                margins = np.asarray(apply_page_prior(
+                    jnp.asarray(margins), jnp.asarray(est_w, jnp.int32),
+                    jnp.asarray(seg, jnp.int32), cfg.cls_page_prior))
+            flips_all = margins > 0
     with T.stage("rec_dispatch"):
         for bucket_w, idx in chunks:
             n = len(idx)
@@ -129,15 +167,9 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
                     rec_height=cfg.rec_height, bucket_width=bucket_w,
                     pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
             if try_flip:
-                # remap this dispatch's prior groups to dense local ids
-                # (the on-device scatter is sized to the dispatch rows);
-                # pad rows duplicate idx[-1] — give them solo groups so
-                # they can't overweight that page's prior
-                seg = np.unique(prior_ids[sel], return_inverse=True)[1]
-                seg[n:] = seg.max() + 1 + np.arange(nb - n)
-                out = _rec_strips_flip_packed_jit(
-                    engine, strips, widths,
-                    jnp.asarray(seg, jnp.int32), beam=beam)
+                out = _rec_strips_forced_flip_packed_jit(
+                    engine, strips, widths, jnp.asarray(flips_all[sel]),
+                    beam=beam)
             else:
                 out = _rec_strips_packed_jit(
                     engine, strips, widths, beam=beam)

@@ -44,10 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--charset", default=None,
                         help="charset dict file (one char per line)")
         sp.add_argument("--try-flip", action="store_true",
-                        help="180° disambiguation: recognize every line "
-                             "both ways (one doubled batch) and keep the "
-                             "higher-confidence reading; handles upside-"
-                             "down lines/pages at ~2x recognition cost")
+                        help="180° handling: a tiny orientation classifier "
+                             "(assets/cls.safetensors) runs inside the "
+                             "recognition program and rotates upside-down "
+                             "strips on device before the CRNN; mostly-"
+                             "flipped pages also read in reversed order. "
+                             "Small extra cost (cls net + one flip gather)")
         sp.add_argument("--viz", default=None, metavar="PATH",
                         help="write a debug visualization (detected quads +"
                              " text drawn on the page); for multiple inputs"

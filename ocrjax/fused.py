@@ -48,7 +48,7 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
     W = bucket_width
 
     @jax.jit
-    def fused(det_vars, rec_vars, gray_u8, thr, valid_wh):
+    def fused(det_vars, rec_vars, cls_vars, gray_u8, thr, valid_wh):
         """gray_u8: (B, S, S) luma canvases — single-channel upload (the
         host↔device link is the e2e bottleneck: 44 MB of RGB canvases cost
         ~530 ms through the tunnel vs ~180 ms for luma), or (B, S, S/2)
@@ -128,7 +128,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             seg = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
             pw = widths * line_valid.reshape(B * K).astype(widths.dtype)
             strips, flip = _cls_flip_strips(
-                engine, strips, widths, seg_ids=seg, prior_weights=pw)
+                engine, cls_vars, strips, widths, seg_ids=seg,
+                prior_weights=pw)
         else:
             flip = jnp.zeros((B * K,), bool)
 
@@ -262,6 +263,7 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
 
     def dispatch(grays_np, wh_np):
         return fused(st.variables, engine.rec_variables,
+                     engine.cls_variables,
                      jax.device_put(preprocess.pack_for_upload(
                          grays_np, cfg)), thr, wh_np)
 

@@ -44,14 +44,6 @@ def sort_reading_order(quads: Sequence[np.ndarray]) -> List[int]:
     return out
 
 
-def rot180_quads(quads: np.ndarray) -> np.ndarray:
-    """Corner relabeling for a 180°-rotated reading of the same region:
-    TL↔BR, TR↔BL (clockwise order preserved). Warping with the relabeled
-    quad samples the region upside down, so the SAME warp+CRNN programs
-    recognize the flipped hypothesis (rec_try_flip)."""
-    return quads[..., [2, 3, 0, 1], :]
-
-
 def scale_quads(quads: np.ndarray, scale: float) -> np.ndarray:
     """Map quads between canvas and original image coords (divide by scale)."""
     return np.asarray(quads, np.float32) / float(scale)

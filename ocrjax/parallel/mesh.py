@@ -163,10 +163,10 @@ def make_sharded_fused_ocr_fn(engine, mesh: Mesh, lines_per_page: int = 32,
     scales linearly with dp size.
 
     Signature matches ocrjax.fused.make_fused_ocr_fn's program:
-    (det_vars, rec_vars, gray_u8 (B,S,S) u8, thr (4,), valid_wh (B,2)) →
-    packed (B, K*(T+12)) float32 — K*(T+13) when cfg.rec_try_flip adds the
-    orientation column (unpack with ocrjax.fused.unpack_fused).
-    B must be divisible by the dp axis size.
+    (det_vars, rec_vars, cls_vars, gray_u8 (B,S,S) u8, thr (4,),
+    valid_wh (B,2)) → packed (B, K*(T+12)) float32 — K*(T+13) when
+    cfg.rec_try_flip adds the orientation column (unpack with
+    ocrjax.fused.unpack_fused). B must be divisible by the dp axis size.
     """
     from ocrjax import fused as F
 
@@ -175,5 +175,5 @@ def make_sharded_fused_ocr_fn(engine, mesh: Mesh, lines_per_page: int = 32,
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
     return jax.jit(inner,
-                   in_shardings=(rep, rep, bs, rep, bs),
+                   in_shardings=(rep, rep, rep, bs, rep, bs),
                    out_shardings=bs)

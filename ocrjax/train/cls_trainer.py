@@ -75,9 +75,11 @@ def flip_half(rng: np.random.RandomState, batch: synth.LineBatch
     return labels
 
 
-def make_cls_train_step(model, tx):
+def make_cls_train_step(model, tx, mean: float = 0.5, std: float = 0.5):
+    """mean/std must be the serving config's rec_mean/rec_std — the cls
+    stage sees exactly the recognizer's normalized strips at serving."""
     def loss_fn(params, images, widths, labels):
-        x = preprocess.rec_normalize(images)
+        x = preprocess.rec_normalize(images, mean, std)
         logits = model.apply({"params": params}, x, widths)
         return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
@@ -143,7 +145,7 @@ def train_cls(
     tx = optax.adam(optax.schedules.cosine_decay_schedule(
         lr, steps, alpha=0.1))
     opt_state = tx.init(params)
-    step = make_cls_train_step(model, tx)
+    step = make_cls_train_step(model, tx, config.rec_mean, config.rec_std)
 
     def batch_kwargs(width):
         # longer buckets hold longer text (≈12px/char at h=32)
@@ -177,7 +179,7 @@ def train_cls(
 
     @jax.jit
     def fwd(images, widths_):
-        x = preprocess.rec_normalize(images)
+        x = preprocess.rec_normalize(images, config.rec_mean, config.rec_std)
         return model.apply({"params": params}, x, widths_)
 
     eval_crops = []

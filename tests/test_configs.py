@@ -198,11 +198,11 @@ def test_c4_fused_oom_chunk_halving(page, monkeypatch):
     def patched_make(engine, *a, **kw):
         real = real_make(engine, *a, **kw)
 
-        def guard(det_vars, rec_vars, grays, thr, wh):
+        def guard(det_vars, rec_vars, cls_vars, grays, thr, wh):
             calls["n"] += 1
             if grays.shape[0] > 1:
                 raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM for test")
-            return real(det_vars, rec_vars, grays, thr, wh)
+            return real(det_vars, rec_vars, cls_vars, grays, thr, wh)
         return guard
 
     monkeypatch.setattr(F, "make_fused_ocr_fn", patched_make)

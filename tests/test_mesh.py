@@ -135,11 +135,13 @@ def test_sharded_fused_ocr_matches_unsharded():
     grays_up = preprocess.pack_for_upload(grays, cfg)
     single = F.make_fused_ocr_fn(eng, 4, cfg.rec_width_buckets[-1])
     ref = np.asarray(single(st.variables, eng.rec_variables,
+                            eng.cls_variables,
                             jnp.asarray(grays_up), thr, valid_wh))
 
     sharded = M.make_sharded_fused_ocr_fn(eng, m, 4,
                                           cfg.rec_width_buckets[-1])
     got = np.asarray(sharded(st.variables, eng.rec_variables,
+                             eng.cls_variables,
                              M.shard_batch(m, grays_up), thr,
                              M.shard_batch(m, valid_wh)))
     assert got.shape == ref.shape

@@ -37,10 +37,17 @@ def flip_engine():
     return eng
 
 
+def _rot180_quads(quads):
+    """Corner relabeling for a 180°-rotated reading of the same region
+    (TL↔BR, TR↔BL). Test-only: production flips post-warp via
+    models.cls.flip_strips_by_width; this identity documents why the two
+    are equivalent."""
+    return quads[..., [2, 3, 0, 1], :]
+
+
 def test_rot180_quads_warp_parity():
     """Warping with the relabeled corners yields the 180°-rotated strip
     (the geometric identity behind reading a quad upside down)."""
-    from ocrjax import geometry
     from ocrjax.ops.warp import warp_quads
 
     rng = np.random.RandomState(0)
@@ -49,7 +56,7 @@ def test_rot180_quads_warp_parity():
                      [81.0, 34.0], [11.0, 32.0]]], np.float32)
     s_up, w_up = warp_quads(img, jnp.asarray(q),
                             rec_height=16, bucket_width=64)
-    s_fl, w_fl = warp_quads(img, jnp.asarray(geometry.rot180_quads(q)),
+    s_fl, w_fl = warp_quads(img, jnp.asarray(_rot180_quads(q)),
                             rec_height=16, bucket_width=64)
     assert int(w_up[0]) == int(w_fl[0])
     w = int(w_up[0])
@@ -142,7 +149,8 @@ def _cls_accuracy(flip_engine, p_word, min_chars, n=96, width=192,
         labels = flip_half(rng, lb)
         x = preprocess.rec_normalize(jnp.asarray(lb.images),
                                      cfg.rec_mean, cfg.rec_std)[..., 0]
-        _, flipped = _cls_flip_strips(flip_engine, x,
+        _, flipped = _cls_flip_strips(flip_engine,
+                                      flip_engine.cls_variables, x,
                                       jnp.asarray(lb.widths))
         pred = np.asarray(flipped)
         hits += int((pred[keep] == (labels[keep] > 0.5)).sum())
@@ -303,6 +311,56 @@ def test_untrained_cls_warns_once(caplog):
         logger.propagate = False
     warns = [r for r in caplog.records if "random-init" in r.getMessage()]
     assert len(warns) == 1, [r.getMessage() for r in caplog.records]
+
+
+def test_recognize_strips_flip_over_count_cap():
+    """Regression: recognize_strips with try-flip and MORE strips than the
+    largest count bucket must not crash (the prior's group array is sized
+    from the actual batch rows, not the clamped bucket)."""
+    from ocrjax.api import OcrEngine
+
+    eng = OcrEngine(config=TINY.replace(rec_try_flip=True))
+    n = TINY.line_batch_buckets[-1] + 2
+    rng = np.random.RandomState(3)
+    strips = [(rng.rand(TINY.rec_height, 40) * 255).astype(np.uint8)
+              for _ in range(n)]
+    for same_page in (False, True):
+        rs = eng.recognize_strips(strips, same_page=same_page)
+        assert len(rs) == n
+
+
+def test_pooled_prior_pools_across_width_buckets():
+    """The page-orientation consensus spans width buckets: with a huge
+    cls_page_prior every line of one page must get the SAME flip decision
+    even when its lines land in different width-bucket dispatches."""
+    from ocrjax.api import OcrEngine
+    from ocrjax import bucketing
+    from ocrjax.bucketing import assign_width_buckets
+    from ocrjax.api_det import _estimate_strip_widths
+
+    eng = OcrEngine(config=TINY.replace(rec_try_flip=True,
+                                        cls_page_prior=1000.0))
+    cfg = eng.config
+    rng = np.random.RandomState(2)
+    gray = jnp.asarray(rng.rand(1, 96, 96).astype(np.float32))
+    # half short quads, half long quads → two width buckets
+    n = 8
+    x0 = rng.randint(2, 20, size=n).astype(np.float32)
+    y0 = rng.randint(2, 80, size=n).astype(np.float32)
+    wq = np.where(np.arange(n) % 2 == 0, 12.0, 70.0)
+    quads = np.stack([
+        np.stack([x0, y0], -1), np.stack([x0 + wq, y0], -1),
+        np.stack([x0 + wq, y0 + 8], -1), np.stack([x0, y0 + 8], -1),
+    ], axis=1).astype(np.float32)
+    est = _estimate_strip_widths(quads, cfg.rec_height)
+    assert len(assign_width_buckets(est * (1.25 if cfg.rec_snap_to_ink
+                                           else 1.0),
+                                    cfg.rec_width_buckets)) >= 2
+    page_ids = np.zeros(n, np.int32)
+    b_all = np.full((n, 1, 2), 95.0, np.float32)
+    _, _, flips = bucketing.recognize_pooled(eng, gray, page_ids, quads,
+                                             b_all)
+    assert len(set(flips)) == 1, flips
 
 
 def test_recognize_pooled_flip_chunks_over_count_cap():
