@@ -148,12 +148,14 @@ def detect(engine, image) -> List["DetBox"]:
 
 
 def ocr(engine, image, beam: bool = False,
-        force_staged: bool = False, color: bool = False) -> "OcrResult":
+        force_staged: bool = False, color: bool = False,
+        _allow_rot90: bool = True) -> "OcrResult":
     """C3: detect → batched on-device warp → recognize → ordered text
     (BASELINE.json:9). force_staged skips the fused fast path (used by the
     fused path's rotation reroute — see fused.ocr_pages_fused). color=True
     runs the whole staged pipeline over MIN-CHANNEL luma so saturated
-    colored ink keeps its contrast (the fused path's color reroute)."""
+    colored ink keeps its contrast (the fused path's color reroute).
+    _allow_rot90 guards the landscape-scan reroute against recursing."""
     from ocrjax.api import DetBox, OcrLine, OcrResult
 
     cfg = engine.config
@@ -178,6 +180,15 @@ def ocr(engine, image, beam: bool = False,
     idx = np.where(valid)[0]
     if len(idx) == 0:
         return OcrResult(lines=[])
+
+    # Landscape-scan reroute: a median box tilt near 90° means the whole
+    # page is rotated ±90 — redo rotated (tilt is scale-invariant, so the
+    # canvas-frame boxes suffice). Gated on rec_try_flip because the cls
+    # stage is what resolves the remaining 180° ambiguity after rotation.
+    if (_allow_rot90 and cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
+            and float(np.median(geometry.quad_tilt_deg(boxes[idx])))
+            > cfg.rot90_tilt_deg):
+        return rot90_redo(engine, img, beam=beam, color=color)
 
     if scale < 0.999:
         # The page was downscaled onto the canvas — recognize crops from the
@@ -305,6 +316,27 @@ def unpack_rec(packed: np.ndarray, max_tokens: int):
     return (packed[:, :T].astype(np.int32),
             packed[:, T].astype(np.int32),
             packed[:, T + 1])
+
+
+def rot90_redo(engine, img, beam: bool = False, color: bool = False
+               ) -> "OcrResult":
+    """Redo a landscape-scanned page rotated 90° ccw and map the boxes
+    back to the original frame. The rotation direction doesn't need
+    guessing: a wrong guess leaves the lines 180°-flipped, which the
+    line-level cls stage corrects (including reversed reading order) —
+    that's why the reroute requires rec_try_flip. img must be a decoded
+    array (the caller already loaded it)."""
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+
+    rot = np.ascontiguousarray(np.rot90(img))
+    res = ocr(engine, rot, beam=beam, color=color, _allow_rot90=False)
+    w = img.shape[1]
+    return OcrResult(lines=[
+        OcrLine(box=DetBox(geometry.rot90_ccw_to_orig(l.box.quad, w),
+                           l.box.score),
+                text=l.text, confidence=l.confidence)
+        for l in res.lines
+    ], truncated=res.truncated)
 
 
 def _cls_flip_strips(engine, cls_variables, strips, widths, seg_ids=None,

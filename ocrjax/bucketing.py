@@ -255,6 +255,18 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
         cy = boxes[i, :, :, 1].mean(axis=1)
         valid[i] &= ok[i] & (cx < nw) & (cy < nh)
 
+    # Landscape-scan reroute (mirrors api_det.ocr): pages whose median box
+    # tilt is ~90° are excluded from pooling and redone rotated 90° at the
+    # end (api_det.rot90_redo — the cls stage resolves the direction).
+    rot90_pages = []
+    if cfg.rec_try_flip and cfg.rot90_tilt_deg > 0:
+        for i in range(B):
+            j = np.where(valid[i])[0]
+            if len(j) and float(np.median(geometry.quad_tilt_deg(
+                    boxes[i, j]))) > cfg.rot90_tilt_deg:
+                rot90_pages.append(i)
+                valid[i] = False
+
     # ---- pool quads across pages -------------------------------------------
     page_ids, quads, qscores, per_page_slots = [], [], [], []
     for i in range(B):
@@ -264,7 +276,16 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
             quads.append(boxes[i, j])
             qscores.append(scores[i, j])
     results: List[List[OcrLine]] = [[] for _ in range(B)]
-    if not quads:
+
+    def _redo_rot90_pages():
+        from ocrjax import api_det
+        for i in rot90_pages:
+            res = api_det.rot90_redo(
+                engine, preprocess.load_image(images[i]), beam=beam)
+            results[i] = res.lines
+
+    if not quads:  # every valid page was a rot90 reroute (or empty)
+        _redo_rot90_pages()
         return [OcrResult(lines=r) for r in results]
 
     page_ids = np.asarray(page_ids, np.int32)
@@ -305,4 +326,5 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
                     text=texts[mine[k]], confidence=confs[mine[k]])
             for k in order
         ]
+    _redo_rot90_pages()
     return [OcrResult(lines=r) for r in results]

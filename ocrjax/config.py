@@ -72,6 +72,13 @@ class OcrConfig:
                                      # whose lines mostly flip also get
                                      # their reading order reversed.
                                      # Tiny extra cost; default off.
+    rot90_tilt_deg: float = 60.0     # with rec_try_flip on, a page whose
+                                     # detected boxes' MEDIAN tilt exceeds
+                                     # this reads as rotated ±90° (landscape
+                                     # scan): the page redoes rotated 90°
+                                     # ccw and the line-level cls resolves
+                                     # the remaining 180° ambiguity. 0
+                                     # disables the reroute.
     cls_page_prior: float = 2.0      # weight of the page-level orientation
                                      # prior (width-weighted mean margin of
                                      # the page's lines) added to each

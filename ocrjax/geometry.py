@@ -44,6 +44,26 @@ def sort_reading_order(quads: Sequence[np.ndarray]) -> List[int]:
     return out
 
 
+def quad_tilt_deg(quads: np.ndarray) -> np.ndarray:
+    """Per-quad tilt in [0, 90]: angle of the TL→TR edge from the nearest
+    image axis. ~0 for horizontal text lines, ~90 for vertical ones (a
+    page scanned in landscape)."""
+    q = np.asarray(quads, np.float32).reshape(-1, 4, 2)
+    e = q[:, 1] - q[:, 0]
+    a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 180.0
+    return np.minimum(a, 180.0 - a)
+
+
+def rot90_ccw_to_orig(quads: np.ndarray, orig_w: int) -> np.ndarray:
+    """Map (..., 4, 2) points from the np.rot90(img) (counter-clockwise)
+    frame back to the original frame: (x', y') → (orig_w − 1 − y', x')."""
+    q = np.asarray(quads, np.float32)
+    out = np.empty_like(q)
+    out[..., 0] = orig_w - 1 - q[..., 1]
+    out[..., 1] = q[..., 0]
+    return out
+
+
 def scale_quads(quads: np.ndarray, scale: float) -> np.ndarray:
     """Map quads between canvas and original image coords (divide by scale)."""
     return np.asarray(quads, np.float32) / float(scale)

@@ -204,7 +204,8 @@ def detect_tiled(engine, image) -> List["DetBox"]:
     return [DetBox(quads[i], ss[i]) for i in order]
 
 
-def ocr_tiled(engine, image, beam: bool = False) -> "OcrResult":
+def ocr_tiled(engine, image, beam: bool = False,
+              _allow_rot90: bool = True) -> "OcrResult":
     """C5 end-to-end: tiled detection + pooled ink-refined recognition
     (BASELINE.json:11 "hundreds of lines/page").
 
@@ -226,6 +227,20 @@ def ocr_tiled(engine, image, beam: bool = False) -> "OcrResult":
     corners, dev_tiles, _, _, _, (quads, ss) = _run_tiles(engine, img)
     if not quads:
         return OcrResult(lines=[])
+
+    # Landscape-scan reroute (mirrors api_det.ocr): redo the whole document
+    # rotated 90° ccw; the line cls resolves the leftover 180° ambiguity.
+    if (_allow_rot90 and cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
+            and float(np.median(geometry.quad_tilt_deg(
+                np.asarray(quads)))) > cfg.rot90_tilt_deg):
+        res = ocr_tiled(engine, np.ascontiguousarray(np.rot90(img)),
+                        beam=beam, _allow_rot90=False)
+        return OcrResult(lines=[
+            OcrLine(box=DetBox(geometry.rot90_ccw_to_orig(l.box.quad, w),
+                               l.box.score),
+                    text=l.text, confidence=l.confidence)
+            for l in res.lines
+        ], truncated=res.truncated)
 
     # ---- assign each merged quad to a containing tile ----------------------
     tile_ids, tile_quads, tile_bounds, pooled_idx, host_idx = [], [], [], [], []

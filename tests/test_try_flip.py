@@ -290,6 +290,56 @@ def test_staged_path_flip_matches_fused(flip_engine):
         [l.text for l in res.lines]
 
 
+def test_rot90_quad_mapping_roundtrip():
+    from ocrjax import geometry
+
+    rng = np.random.RandomState(4)
+    H, W = 60, 100
+    img = rng.rand(H, W, 3)
+    rot = np.rot90(img)  # (W, H)
+    q_rot = np.asarray([[[5.0, 7.0], [30.0, 7.0],
+                         [30.0, 15.0], [5.0, 15.0]]], np.float32)
+    q_orig = geometry.rot90_ccw_to_orig(q_rot, W)
+    # pixel identity: rot[y', x'] == img[y, x] for each mapped corner
+    for (xp, yp), (x, y) in zip(q_rot[0], q_orig[0]):
+        np.testing.assert_allclose(rot[int(yp), int(xp)],
+                                   img[int(y), int(x)])
+    # tilt: a horizontal quad in the rotated frame is vertical in the orig
+    assert geometry.quad_tilt_deg(q_orig)[0] > 80
+    assert geometry.quad_tilt_deg(q_rot)[0] < 10
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_rot90_page_reads_upright(flip_engine, k):
+    """A page scanned in landscape (±90°) reads correctly in original
+    reading order: the tilt reroute rotates it, the cls stage fixes the
+    direction ambiguity."""
+    texts = ["alphabet", "mountain", "downstream"]
+    img = np.rot90(_stacked_page(texts), k).copy()
+    res = flip_engine.ocr(img)
+    assert [l.text for l in res.lines] == texts, \
+        (k, [l.text for l in res.lines])
+    # boxes come back in the ORIGINAL (landscape) frame
+    h, w = img.shape[:2]
+    for l in res.lines:
+        q = np.asarray(l.box.quad)
+        assert (q[:, 0] >= -1).all() and (q[:, 0] <= w).all()
+        assert (q[:, 1] >= -1).all() and (q[:, 1] <= h).all()
+
+
+def test_rot90_batch_staged_path(flip_engine):
+    """The pooled batched path reroutes rotated pages too (mixed batch of
+    upright + landscape pages through bucketing.ocr_pages)."""
+    from ocrjax import bucketing
+    texts = ["alphabet", "mountain", "downstream"]
+    up = _stacked_page(texts)
+    rot = np.rot90(up, 1).copy()
+    r_up, r_rot = bucketing.ocr_pages(flip_engine, [up, rot])
+    assert [l.text for l in r_up.lines] == texts
+    assert [l.text for l in r_rot.lines] == texts, \
+        [l.text for l in r_rot.lines]
+
+
 def test_untrained_cls_warns_once(caplog):
     """rec_try_flip on an engine with NO cls checkpoint: flip decisions
     come from a random-init net — the dispatch paths must say so (once)."""
