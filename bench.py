@@ -22,6 +22,38 @@ BASELINE_PAGES_PER_SEC = 50.0
 _progress = {"windows": [], "partial": {}, "done": False}
 
 
+def _prior_hardware_run():
+    """Compact summary of the most recent completed hardware run, if any
+    (BENCH_DETAIL.json from this checkout, else the newest committed
+    snapshot under docs/bench_runs/). Attached to degraded-link records so
+    a dead tunnel at bench time doesn't erase what the hardware measured
+    when the link was alive. Context only — never the headline value."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = [os.path.join(here, "BENCH_DETAIL.json")] + sorted(
+        glob.glob(os.path.join(here, "docs", "bench_runs", "*.json")),
+        reverse=True)
+    for p in cands:
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            return {
+                "file": os.path.relpath(p, here),
+                "mtime": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(p))),
+                "device": d.get("device"),
+                "pages_per_sec": round(d.get("pages_per_sec", 0.0), 1),
+                "pages_per_sec_median": round(
+                    d.get("pages_per_sec_median", 0.0), 1),
+                "pages_per_sec_device": round(
+                    d.get("pages_per_sec_device", 0.0), 1),
+                "crops_per_sec": round(d.get("crops_per_sec", 0.0), 0),
+            }
+        except Exception:
+            continue
+    return None
+
+
 def _watchdog(deadline_s: float):
     """The axon TPU tunnel can die outright, blocking jax backend init (and
     any device sync) FOREVER — observed 2026-08-17: jax.devices() never
@@ -46,14 +78,21 @@ def _watchdog(deadline_s: float):
                      "value = best completed window",
         }
         rec.update(_progress["partial"])
+        prior = _prior_hardware_run()
+        if prior:
+            rec["prior_hardware_run"] = prior
         print(json.dumps(rec), flush=True)
         os._exit(0)
-    print(json.dumps({
+    rec = {
         "metric": "pages_per_sec_per_chip_e2e_peak_sustained",
         "value": 0.0, "unit": "pages/s", "vs_baseline": 0.0,
         "error": "TPU tunnel unreachable: jax backend init / first window "
                  "did not complete within the deadline",
-    }), flush=True)
+    }
+    prior = _prior_hardware_run()
+    if prior:
+        rec["prior_hardware_run"] = prior
+    print(json.dumps(rec), flush=True)
     os._exit(3)
 
 

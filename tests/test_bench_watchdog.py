@@ -47,6 +47,10 @@ def test_watchdog_dead_link_records_error():
     assert p.returncode == 3
     assert rec["value"] == 0.0
     assert "unreachable" in rec["error"]
+    # degraded-link records carry the last healthy hardware run as context
+    # (docs/bench_runs/ snapshots are committed) — never as the headline
+    assert rec["prior_hardware_run"]["pages_per_sec"] > 0
+    assert rec["prior_hardware_run"]["device"]
 
 
 def test_watchdog_exits_quietly_when_done():
