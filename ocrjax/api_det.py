@@ -57,7 +57,8 @@ class _DetState:
             gray_u8 = preprocess.unpack_on_device(gray_u8, cfg)
             x = preprocess.det_normalize_gray(
                 gray_u8, cfg.det_mean, cfg.det_std)
-            return self.model.apply(variables, x)["prob"]
+            from ocrjax.models import db_int8
+            return db_int8.apply_prob(self.model, variables, x, cfg.det_int8)
 
         @functools.partial(
             jax.jit,

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--det-box-thresh", type=float, default=None)
         sp.add_argument("--det-unclip-ratio", type=float, default=None)
         sp.add_argument("--det-max-side", type=int, default=None)
+        sp.add_argument("--det-int8", action="store_true",
+                        help="int8 conv path for the DB detector "
+                             "(MXU int8 ~2x bf16; see models/db_int8.py)")
         sp.add_argument("--charset", default=None,
                         help="charset dict file (one char per line)")
         sp.add_argument("--try-flip", action="store_true",
@@ -107,6 +110,8 @@ def _make_engine(args):
             overrides[field] = v
     if getattr(args, "try_flip", False):
         overrides["rec_try_flip"] = True
+    if getattr(args, "det_int8", False):
+        overrides["det_int8"] = True
     if overrides:
         engine.config = engine.config.replace(**overrides)
         engine._det = None  # force rebuild with new static config

@@ -31,6 +31,15 @@ class OcrConfig:
                                      # extract_boxes and the ink refinement
                                      # recovers exact geometry at full res
 
+    det_int8: bool = False           # int8 conv path for the DB backbone +
+                                     # FPN (models.db_int8): BN-folded,
+                                     # per-channel weights, dynamic per-image
+                                     # activation scales, int32 accumulate —
+                                     # v5e MXU int8 is ~2x bf16. Head stays
+                                     # float. Off until the TPU benchmark
+                                     # (scripts/bench_int8_det.py) records
+                                     # the speed/quality trade.
+
     # --- DB postprocess (SURVEY.md §2.1 R3) ---
     det_thresh: float = 0.3          # prob-map binarization threshold
     det_box_thresh: float = 0.6      # mean-score filter for candidate boxes

@@ -68,7 +68,9 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         # ---- detection -----------------------------------------------------
         x = preprocess.det_normalize_gray(
             gray_u8, cfg.det_mean, cfg.det_std)
-        prob = st.model.apply(det_vars, x)["prob"]            # (B, S, S)
+        from ocrjax.models import db_int8
+        prob = db_int8.apply_prob(st.model, det_vars, x,
+                                  cfg.det_int8)                # (B, S, S)
         cand = jax.vmap(lambda p: db_boxes.extract_boxes(
             p, thresh=thr[0], box_thresh=thr[1],
             unclip_ratio=thr[2],

@@ -144,7 +144,8 @@ def _run_tiles(engine, img: np.ndarray):
         tiles_u8 = preprocess.unpack_on_device(tiles_u8, cfg)
         x = preprocess.det_normalize_gray(
             tiles_u8, cfg.det_mean, cfg.det_std)
-        prob = st.model.apply(variables, x)["prob"]
+        from ocrjax.models import db_int8
+        prob = db_int8.apply_prob(st.model, variables, x, cfg.det_int8)
         return pack_det(jax.vmap(
             lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob))
 

@@ -1,0 +1,126 @@
+"""Int8 detection path (models/db_int8): parity against the float path.
+
+The int8 path is an in-graph quantization of the SAME variables, so parity
+is testable without separate weights: prob-map closeness + bitmap agreement
+on random init, and box/string-level agreement with the trained assets.
+Gate discipline: det_int8 defaults OFF; these tests pin that turning it on
+does not change what the pipeline reads (the TPU benchmark decides whether
+it ever becomes a default).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocrjax.api import OcrEngine
+from ocrjax.config import OcrConfig, TINY
+from ocrjax.models import db_int8
+from ocrjax.models.db import create_db
+from ocrjax.train.synth import render_page
+from ocrjax.charset import default_charset
+
+ASSETS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets")
+HAS_ASSETS = os.path.exists(os.path.join(ASSETS, "det.safetensors"))
+
+
+def test_prob_parity_random_init():
+    model = create_db(OcrConfig())
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
+    v = model.init(jax.random.PRNGKey(1), x)
+    pf = np.asarray(model.apply(v, x)["prob"])
+    pq = np.asarray(db_int8.prob_int8(model, v, x))
+    assert pq.shape == pf.shape
+    assert np.abs(pf - pq).max() < 0.02
+    # thresholded bitmaps agree except at genuine threshold-straddlers
+    assert ((pf > 0.3) == (pq > 0.3)).mean() > 0.995
+
+
+def test_prob_parity_strided_head():
+    model = create_db(OcrConfig(det_head_stride=4))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(2), x)
+    pf = np.asarray(model.apply(v, x)["prob"])
+    pq = np.asarray(db_int8.prob_int8(model, v, x))
+    assert pq.shape == pf.shape  # (1, 32, 32)
+    assert np.abs(pf - pq).max() < 0.02
+
+
+def _iou(a, b):
+    import cv2
+    canvas = np.zeros((2, 512, 512), np.uint8)
+    cv2.fillPoly(canvas[0], [a.astype(np.int32)], 1)
+    cv2.fillPoly(canvas[1], [b.astype(np.int32)], 1)
+    inter = np.logical_and(canvas[0], canvas[1]).sum()
+    union = np.logical_or(canvas[0], canvas[1]).sum()
+    return inter / max(union, 1)
+
+
+@pytest.mark.skipif(not HAS_ASSETS, reason="no trained det asset")
+def test_boxes_parity_trained_weights():
+    """Same pages, trained weights: int8 detection finds the same boxes."""
+    eng_f = OcrEngine.from_pretrained()
+    eng_q = OcrEngine.from_pretrained()
+    eng_q.config = eng_q.config.replace(det_int8=True)
+    rng = np.random.RandomState(7)
+    pages = 0
+    for _ in range(3):
+        img, quads, texts = render_page(rng, default_charset(),
+                                        size=(512, 512))
+        img3 = np.repeat(img[..., None], 3, axis=2)
+        bf = eng_f.detect(img3)
+        bq = eng_q.detect(img3)
+        assert len(bf) == len(bq), (len(bf), len(bq))
+        if not bf:
+            continue
+        pages += 1
+        # order-insensitive greedy match: every float box has an int8 twin.
+        # Threshold-straddling prob pixels can wobble a component's EXTENT
+        # slightly (measured: a couple of boxes per page set at IoU
+        # 0.73-0.95, the rest ~1.0) — downstream, the two-pass ink
+        # refinement re-derives exact geometry from the full-res canvas, so
+        # the string-level test below is the binding gate. Here: same box
+        # COUNT, every box matched (IoU > 0.6), high mean.
+        remaining = [np.asarray(b.quad) for b in bq]
+        matched = []
+        for fb in bf:
+            ious = [_iou(np.asarray(fb.quad), q) for q in remaining]
+            j = int(np.argmax(ious))
+            assert ious[j] > 0.6, ious[j]
+            matched.append(ious[j])
+            remaining.pop(j)
+        assert np.mean(matched) > 0.9, matched
+    assert pages >= 2  # the render actually produced detectable pages
+
+
+@pytest.mark.skipif(not HAS_ASSETS, reason="no trained det asset")
+def test_e2e_strings_match_trained_weights():
+    """det_int8=True reads the same text as the float path (staged+fused)."""
+    eng_f = OcrEngine.from_pretrained()
+    eng_q = OcrEngine.from_pretrained()
+    eng_q.config = eng_q.config.replace(det_int8=True)
+    rng = np.random.RandomState(11)
+    img, quads, texts = render_page(rng, default_charset(), size=(640, 640))
+    img3 = np.repeat(img[..., None], 3, axis=2)
+    rf = eng_f.ocr(img3)
+    rq = eng_q.ocr(img3)
+    assert [l.text for l in rf.lines] == [l.text for l in rq.lines]
+    rf_b, = eng_f.ocr_batch([img3], fused=False)
+    rq_b, = eng_q.ocr_batch([img3], fused=False)
+    assert [l.text for l in rf_b.lines] == [l.text for l in rq_b.lines]
+
+
+def test_tiled_path_compiles_with_int8(engine_int8_tiny=None):
+    """The tiled detection graph accepts the int8 route (TINY engine)."""
+    from ocrjax.charset import Charset
+    cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45,
+                       tile_size=256, tile_overlap=32, det_int8=True)
+    eng = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    rng = np.random.RandomState(3)
+    img, _, _ = render_page(rng, default_charset(), size=(400, 400))
+    eng.detect_tiled(np.repeat(img[..., None], 3, axis=2))  # no raise
