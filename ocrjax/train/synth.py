@@ -151,6 +151,7 @@ def make_line_batch(
     char_weights=None,
     quantize_p: float = 0.0,
     p_word: float = 0.0,
+    stretch: float = 0.0,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -161,7 +162,12 @@ def make_line_batch(
     estimates on short lines. quantize_p: probability of pushing a strip
     through the 4-bit Bayer-dither transport round-trip
     (preprocess.pack_nibbles) — the noise distribution serving strips carry
-    when warped off a packed-uploaded canvas (upload_bits=4)."""
+    when warped off a packed-uploaded canvas (upload_bits=4).
+    stretch > 0 rescales half the strips' WIDTH by a log-uniform factor in
+    [1/(1+stretch), 1+stretch] — the aspect distortion the two-pass ink
+    refinement introduces when it rescales a sub-full-height ink band to
+    the full strip height (measured ~1.3x on serving crops; unaugmented
+    weights read '0'→'O' from 1.2x on)."""
     images = np.zeros((batch_size, height, width), np.uint8)
     widths = np.zeros((batch_size,), np.int32)
     labels = np.zeros((batch_size, max_label), np.int32)
@@ -231,6 +237,12 @@ def make_line_batch(
                 import cv2
                 new_w = max(1, int(round(strip.shape[1] * height / render_h)))
                 strip = cv2.resize(strip, (new_w, height),
+                                   interpolation=cv2.INTER_LINEAR)
+            if stretch > 0 and rng.rand() < 0.5:
+                import cv2
+                f = (1.0 + stretch) ** rng.uniform(-1.0, 1.0)
+                new_w = max(1, int(round(strip.shape[1] * f)))
+                strip = cv2.resize(strip, (new_w, strip.shape[0]),
                                    interpolation=cv2.INTER_LINEAR)
             if strip.shape[1] <= width and len(text) <= max_label:
                 break

@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--quantize-p", type=float, default=0.0,
                     help="prob of the 4-bit dither transport round-trip "
                          "per training strip (match upload_bits=4 serving)")
+    ap.add_argument("--stretch", type=float, default=0.0,
+                    help="width-rescale half the strips by a log-uniform "
+                         "factor in [1/(1+S), 1+S] — the ink-refinement "
+                         "aspect distortion (synth.make_line_batch)")
     ap.add_argument("--p-word", type=float, default=0.0,
                     help="prob of word-like text (lowercase runs joined by "
                          "'_'/' '/'-'/'.') per synthetic line")
@@ -144,6 +148,7 @@ def main():
         aug_rotation=args.aug_rotation,
         quantize_p=args.quantize_p,
         p_word=args.p_word,
+        stretch=args.stretch,
         char_weights=_char_weights(args),
     )
     cfg_json = json.dumps({

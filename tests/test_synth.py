@@ -55,3 +55,21 @@ def test_render_page_p_word():
     _, quads, texts = synth.render_page(rng, cs, p_word=1.0)
     assert len(quads) == len(texts) and texts
     assert all(all(c.isalpha() or c in "_ -." for c in t) for t in texts)
+
+
+def test_make_line_batch_stretch():
+    """stretch > 0 width-rescales ~half the strips (log-uniform factor);
+    labels stay attached and widths stay within the bucket."""
+    cs = default_charset()
+    a = synth.make_line_batch(np.random.RandomState(5), cs, 32, 320,
+                              max_len=8)
+    b = synth.make_line_batch(np.random.RandomState(5), cs, 32, 320,
+                              max_len=8, stretch=0.5)
+    # same rng stream start → same texts until a stretch draw perturbs it;
+    # the property that matters: valid shapes + decodable labels
+    assert b.images.shape == (32, 32, 320)
+    assert (b.widths >= 1).all() and (b.widths <= 320).all()
+    for t, lab, ln in zip(b.texts, b.labels, b.label_lengths):
+        assert cs.decode(lab[:ln]) == t
+    # the augmentation actually fires: width distribution differs
+    assert not np.array_equal(a.widths, b.widths)
