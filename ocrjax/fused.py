@@ -370,7 +370,16 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                 e = vq[:, 1] - vq[:, 0]
                 a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 90.0
                 tilt = np.minimum(a, 90.0 - a)
-                if float(tilt.max()) > deg:
+                # Landscape scan: the %90 fold above reads a ~90° page as
+                # ~0 tilt, so a CLEAN ±90° scan would silently skip the
+                # reroute and the separable warp would read vertical lines.
+                # Check the unfolded median too (geometry.quad_tilt_deg is
+                # tilt-from-horizontal in [0, 90]) — the staged redo's own
+                # rot90 reroute (api_det.ocr) then rotates the page.
+                rot90 = (cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
+                         and float(np.median(geometry.quad_tilt_deg(vq)))
+                         > cfg.rot90_tilt_deg)
+                if rot90 or float(tilt.max()) > deg:
                     reroute.append(i)
                     results.append(None)  # placeholder, filled below
                     continue

@@ -340,6 +340,20 @@ def test_rot90_batch_staged_path(flip_engine):
         [l.text for l in r_rot.lines]
 
 
+def test_rot90_batch_fused_path(flip_engine):
+    """ocr_batch(fused=True) reroutes a CLEAN landscape page: the fused
+    rotation reroute's %90 tilt fold reads ~90° boxes as ~0 tilt, so the
+    wrapper needs the explicit unfolded-median check (fused.py) — without
+    it the separable warp silently reads vertical lines."""
+    texts = ["alphabet", "mountain", "downstream"]
+    up = _stacked_page(texts)
+    rot = np.rot90(up, 1).copy()
+    r_up, r_rot = flip_engine.ocr_batch([up, rot], fused=True)
+    assert [l.text for l in r_up.lines] == texts
+    assert [l.text for l in r_rot.lines] == texts, \
+        [l.text for l in r_rot.lines]
+
+
 def test_untrained_cls_warns_once(caplog):
     """rec_try_flip on an engine with NO cls checkpoint: flip decisions
     come from a random-init net — the dispatch paths must say so (once)."""
