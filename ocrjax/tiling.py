@@ -129,11 +129,15 @@ def _run_tiles(engine, img: np.ndarray):
     corners = tile_grid(h, w, T, cfg.tile_overlap)
 
     # pad image so every tile is full-size (fixed shapes); luma tiles —
-    # single-channel uploads (see det_normalize_gray)
+    # single-channel uploads (see det_normalize_gray). REPLICATE padding:
+    # zero padding puts a hard white→black edge at the page border, which
+    # the detector reads as a text-like stroke (measured: a tall spurious
+    # box hugging the border that also corrupts reading-order row
+    # clustering); edge replication makes the pad seamless for any
+    # background shade.
     gray = preprocess.to_gray(img)
     ph, pw = max(h, T), max(w, T)
-    padded = np.zeros((ph, pw), np.uint8)
-    padded[:h, :w] = gray
+    padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
 
     tiles = np.stack([padded[y:y + T, x:x + T] for (y, x) in corners])
 

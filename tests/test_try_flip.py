@@ -354,6 +354,26 @@ def test_rot90_batch_fused_path(flip_engine):
         [l.text for l in r_rot.lines]
 
 
+def test_rot90_tiled_path():
+    """ocr_tiled reroutes a landscape document (C5 + ±90°): boxes come back
+    in the original landscape frame, text in original reading order."""
+    from ocrjax.api import OcrEngine
+    texts = ["alphabet", "mountain", "downstream"]
+    eng = OcrEngine.from_pretrained()
+    eng.config = eng.config.replace(rec_try_flip=True, tile_size=512,
+                                    tile_overlap=64)
+    up = _stacked_page(texts)           # (320, 480)
+    rot = np.rot90(up, 1).copy()        # (480, 320)
+    res = eng.ocr_tiled(rot)
+    assert [l.text for l in res.lines] == texts, \
+        [l.text for l in res.lines]
+    h, w = rot.shape[:2]
+    for l in res.lines:
+        q = np.asarray(l.box.quad)
+        assert (q[:, 0] >= -1).all() and (q[:, 0] <= w).all()
+        assert (q[:, 1] >= -1).all() and (q[:, 1] <= h).all()
+
+
 def test_untrained_cls_warns_once(caplog):
     """rec_try_flip on an engine with NO cls checkpoint: flip decisions
     come from a random-init net — the dispatch paths must say so (once)."""
