@@ -14,7 +14,6 @@ Used by OcrEngine.ocr_batch(fused=True) and the benchmark.
 
 from __future__ import annotations
 
-import functools
 from typing import List
 
 import jax

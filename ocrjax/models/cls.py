@@ -19,7 +19,6 @@ descenders), which a small conv net learns directly.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 

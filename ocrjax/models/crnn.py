@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

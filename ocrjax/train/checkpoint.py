@@ -13,7 +13,6 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 
 from ocrjax import weights as W
 

@@ -6,7 +6,7 @@ Also used to calibrate det_unclip_ratio (geometry → recognition coupling).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

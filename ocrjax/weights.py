@@ -12,7 +12,6 @@ installed for exactly this oracle/converter role, SURVEY.md §7 step 3).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Mapping
 
