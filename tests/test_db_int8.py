@@ -115,7 +115,7 @@ def test_e2e_strings_match_trained_weights():
     assert [l.text for l in rf_b.lines] == [l.text for l in rq_b.lines]
 
 
-def test_tiled_path_compiles_with_int8(engine_int8_tiny=None):
+def test_tiled_path_compiles_with_int8():
     """The tiled detection graph accepts the int8 route (TINY engine)."""
     from ocrjax.charset import Charset
     cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45,
