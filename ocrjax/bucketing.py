@@ -195,8 +195,8 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
     return texts, confs, flips
 
 
-def ocr_pages(engine, images: Sequence, beam: bool = False
-              ) -> List["OcrResult"]:
+def ocr_pages(engine, images: Sequence, beam: bool = False,
+              _allow_rot90: bool = True) -> List["OcrResult"]:
     """C4 pooled batched OCR. Returns one OcrResult per input image.
 
     Detection is CHUNKED and dispatched ahead (mirroring the fused path,
@@ -259,7 +259,7 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     # tilt is ~90° are excluded from pooling and redone rotated 90° at the
     # end (api_det.rot90_redo — the cls stage resolves the direction).
     rot90_pages = []
-    if cfg.rec_try_flip and cfg.rot90_tilt_deg > 0:
+    if _allow_rot90 and cfg.rec_try_flip and cfg.rot90_tilt_deg > 0:
         for i in range(B):
             j = np.where(valid[i])[0]
             if len(j) and float(np.median(geometry.quad_tilt_deg(
@@ -278,11 +278,25 @@ def ocr_pages(engine, images: Sequence, beam: bool = False
     results: List[List[OcrLine]] = [[] for _ in range(B)]
 
     def _redo_rot90_pages():
-        from ocrjax import api_det
+        # ONE recursive pooled batch for all landscape pages (not N serial
+        # single-page pipelines — same batching rule as the fused path's
+        # rotation reroute); _allow_rot90=False guards against a
+        # pathological page that still reads ~90° after rotation.
+        if not rot90_pages:
+            return
+        from ocrjax.api import DetBox, OcrLine
+        rots, ws = [], []
         for i in rot90_pages:
-            res = api_det.rot90_redo(
-                engine, preprocess.load_image(images[i]), beam=beam)
-            results[i] = res.lines
+            img = preprocess.load_image(images[i])
+            ws.append(img.shape[1])
+            rots.append(np.ascontiguousarray(np.rot90(img)))
+        rres = ocr_pages(engine, rots, beam=beam, _allow_rot90=False)
+        for i, rr, w in zip(rot90_pages, rres, ws):
+            results[i] = [
+                OcrLine(box=DetBox(
+                    geometry.rot90_ccw_to_orig(l.box.quad, w), l.box.score),
+                    text=l.text, confidence=l.confidence)
+                for l in rr.lines]
 
     if not quads:  # every valid page was a rot90 reroute (or empty)
         _redo_rot90_pages()
