@@ -8,8 +8,8 @@ program that runs on-TPU:
   * greedy: argmax → collapse-repeats/drop-blank via a one-hot matmul
     compaction (MXU-friendly scatter — no host loop, no dynamic shapes);
   * beam: fixed-width CTC prefix beam search kept entirely in fixed-size
-    arrays with per-step top-k and rolling-hash prefix merging
-    (memory-efficient formulation in the spirit of SURVEY.md §7
+    arrays with per-step top-k and exact (collision-free) prefix-identity
+    merging (memory-efficient formulation in the spirit of SURVEY.md §7
     "Batched beam-search CTC").
 
 Outputs are fixed-shape (B, max_tokens) id arrays + lengths, so the only
