@@ -276,6 +276,7 @@ def render_page(
     noise: float = 0.01,
     max_rotation: float = 0.0,
     p_word: float = 0.0,
+    fonts: Optional[Sequence[str]] = None,
 ) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
     """A page image with non-overlapping text lines at random positions.
 
@@ -298,7 +299,8 @@ def render_page(
                 text = word_text(rng, charset, 2, max_len)
             else:
                 text = random_text(rng, charset, 2, max_len)
-            strip = render_line(text, th, FONTS[rng.randint(len(FONTS))],
+            fs = FONTS if fonts is None else list(fonts)
+            strip = render_line(text, th, fs[rng.randint(len(fs))],
                                 rng, noise, pad=2)
             sh, sw = strip.shape
             corners = np.array([[0, 0], [sw, 0], [sw, sh], [0, sh]],

@@ -29,6 +29,19 @@ class JsonFormatter(logging.Formatter):
         return json.dumps(out)
 
 
+class TextFormatter(logging.Formatter):
+    """Human format that still shows log_fields' key=value pairs (the JSON
+    formatter gets them via record.fields; without this they vanish from
+    text logs, e.g. the fused-redo rotated/saturated/colorful counts)."""
+
+    def format(self, record: logging.LogRecord) -> str:
+        base = super().format(record)
+        extra = getattr(record, "fields", None)
+        if extra:
+            base += " " + " ".join(f"{k}={v}" for k, v in extra.items())
+        return base
+
+
 def get_logger(name: str = "ocrjax", json_logs: bool = False,
                level: int = logging.INFO,
                stream=None) -> logging.Logger:
@@ -37,8 +50,8 @@ def get_logger(name: str = "ocrjax", json_logs: bool = False,
         h = logging.StreamHandler(stream or sys.stderr)
         h.setFormatter(
             JsonFormatter() if json_logs
-            else logging.Formatter("%(asctime)s %(levelname)s %(name)s: "
-                                   "%(message)s"))
+            else TextFormatter("%(asctime)s %(levelname)s %(name)s: "
+                               "%(message)s"))
         logger.addHandler(h)
         logger.setLevel(level)
         logger.propagate = False
