@@ -119,6 +119,17 @@ class OcrConfig:
                                      # rotated lines by their AABB: measured
                                      # 0.80 vs 0.93 line-exact at ±10°).
                                      # 0 disables rerouting.
+    fused_reroute_min_aspect: float = 1.7  # only boxes at least this
+                                     # elongated (long/short side) can
+                                     # trigger the rotation reroute: a
+                                     # near-square box's PCA tilt is
+                                     # eigenvalue noise (measured: 17% of
+                                     # STRAIGHT pages tripped the reroute,
+                                     # every offender aspect <= 1.5), and
+                                     # an AABB crop of a near-square line
+                                     # barely differs from its homography
+                                     # crop — the ink refinement re-derives
+                                     # the extents either way.
     fused_color_reroute_frac: float = 0.005  # pages where more than this
                                      # fraction of pixels carry strong
                                      # chroma reroute to the staged path

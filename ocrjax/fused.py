@@ -194,6 +194,41 @@ def unpack_fused(payload: np.ndarray, K: int, max_tokens: int,
     }
 
 
+def should_reroute_rotation(vq: np.ndarray, cfg) -> bool:
+    """Decide whether a page's valid quads (N, 4, 2) force a staged redo.
+
+    The fused program's separable warp crops rotated lines by their AABB
+    (measured 0.80 vs 0.93 line-exact at ±10°), so tilted pages re-run
+    through the staged exact-homography path. ANY sufficiently-elongated
+    tilted box triggers: lines rotate independently (a page can hold one
+    genuinely tilted line among straight ones), and a missed reroute
+    misreads that line while a false trigger only costs the batched staged
+    re-run — measured 0.81 vs 0.92 rotated line-exact for a ≥2-box
+    majority trigger. Near-square boxes can't vote (fused_reroute_min_
+    aspect): their PCA tilt is eigenvalue-gap noise — before that gate 17%
+    of STRAIGHT pages tripped the reroute, every offender aspect ≤ 1.5 —
+    and the separable warp's AABB crop of a near-square line is benign
+    (the ink refinement re-derives its extents).
+
+    A clean ±90° landscape scan folds to ~0 tilt in the mod-90 metric, so
+    the unfolded median is checked too (geometry.quad_tilt_deg ∈ [0, 90]);
+    the staged redo's own rot90 reroute (api_det.ocr) then rotates the
+    page and the cls stage fixes any residual 180°.
+    """
+    e = vq[:, 1] - vq[:, 0]
+    a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 90.0
+    tilt = np.minimum(a, 90.0 - a)
+    w_len = np.linalg.norm(vq[:, 1] - vq[:, 0], axis=1)
+    h_len = np.linalg.norm(vq[:, 3] - vq[:, 0], axis=1)
+    aspect = (np.maximum(w_len, h_len)
+              / np.maximum(np.minimum(w_len, h_len), 1.0))
+    tilt = np.where(aspect >= cfg.fused_reroute_min_aspect, tilt, 0.0)
+    rot90 = (cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
+             and float(np.median(geometry.quad_tilt_deg(vq)))
+             > cfg.rot90_tilt_deg)
+    return rot90 or float(tilt.max()) > cfg.fused_rotation_reroute_deg
+
+
 class _FakeOom(RuntimeError):
     """Marker for a dispatch-time OOM deferred to the fetch loop."""
 
@@ -350,38 +385,16 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
             results.append(api_det.ocr(engine, images[i], beam=beam,
                                        color=True))
             continue
-        # Rotation reroute: the separable warp crops rotated lines by their
-        # AABB (measured 0.80 vs 0.93 line-exact at ±10°); pages whose
-        # detected boxes tilt past the threshold re-run through the staged
-        # exact-homography path. The quads are already on host, so straight
-        # pages — the common case — pay nothing. ANY tilted box triggers:
-        # lines rotate independently (a page can hold one genuinely tilted
-        # line among straight ones), and a missed reroute misreads that
-        # line while a false trigger only costs the (batched, below)
-        # staged re-run — measured 0.81 vs 0.92 rotated line-exact for a
-        # ≥2-box majority trigger. Rerouted pages are collected and re-run
-        # as ONE staged batch instead of N serial single-page pipelines
-        # (ADVICE r1).
-        deg = cfg.fused_rotation_reroute_deg
-        if deg > 0:
-            vq = quads[i][valid[i]]
-            if len(vq):
-                e = vq[:, 1] - vq[:, 0]
-                a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 90.0
-                tilt = np.minimum(a, 90.0 - a)
-                # Landscape scan: the %90 fold above reads a ~90° page as
-                # ~0 tilt, so a CLEAN ±90° scan would silently skip the
-                # reroute and the separable warp would read vertical lines.
-                # Check the unfolded median too (geometry.quad_tilt_deg is
-                # tilt-from-horizontal in [0, 90]) — the staged redo's own
-                # rot90 reroute (api_det.ocr) then rotates the page.
-                rot90 = (cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
-                         and float(np.median(geometry.quad_tilt_deg(vq)))
-                         > cfg.rot90_tilt_deg)
-                if rot90 or float(tilt.max()) > deg:
-                    reroute.append(i)
-                    results.append(None)  # placeholder, filled below
-                    continue
+        # Rotation reroute (see should_reroute_rotation): the quads are
+        # already on host, so straight pages — the common case — pay
+        # nothing. Rerouted pages are collected and re-run as ONE staged
+        # batch instead of N serial single-page pipelines (ADVICE r1).
+        if (cfg.fused_rotation_reroute_deg > 0
+                and len(quads[i][valid[i]])
+                and should_reroute_rotation(quads[i][valid[i]], cfg)):
+            reroute.append(i)
+            results.append(None)  # placeholder, filled below
+            continue
         nh, nw = valid_hw[i]
         lines = []
         qs, metas = [], []

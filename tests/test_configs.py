@@ -247,3 +247,39 @@ def test_c4_fused_color_reroute(page, monkeypatch):
     out = eng.ocr_batch([color_img, img3], fused=True)
     assert calls == [True]  # only the colorful page rerouted
     assert len(out) == 2
+
+
+def _rect_quad(cx, cy, w, h, deg=0.0):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    R = np.array([[c, -s], [s, c]], np.float32)
+    base = np.array([[-w / 2, -h / 2], [w / 2, -h / 2],
+                     [w / 2, h / 2], [-w / 2, h / 2]], np.float32)
+    return base @ R.T + np.array([cx, cy], np.float32)
+
+
+def test_rotation_reroute_aspect_gate():
+    """Near-square boxes can't trigger the fused rotation reroute (their
+    PCA tilt is eigenvalue noise — 17% of straight pages falsely rerouted
+    before the gate); elongated tilted boxes still do, and a clean ±90°
+    landscape page reroutes via the unfolded-median check."""
+    from ocrjax.fused import should_reroute_rotation
+
+    cfg = TINY.replace(fused_rotation_reroute_deg=3.0,
+                       fused_reroute_min_aspect=1.7,
+                       rec_try_flip=True, rot90_tilt_deg=60.0)
+
+    straight = [_rect_quad(100, 40 + 60 * i, 180, 30) for i in range(3)]
+    sq_noise = _rect_quad(300, 60, 34, 30, deg=18.0)  # aspect 1.13
+    assert not should_reroute_rotation(
+        np.stack(straight + [sq_noise]), cfg)
+
+    tilted = _rect_quad(200, 200, 160, 30, deg=8.0)  # elongated, real tilt
+    assert should_reroute_rotation(np.stack(straight + [tilted]), cfg)
+
+    landscape = [_rect_quad(60 + 40 * i, 200, 180, 30, deg=90.0)
+                 for i in range(4)]
+    assert should_reroute_rotation(np.stack(landscape), cfg)
+
+    # gate off (min_aspect 1.0) restores the old any-box behavior
+    cfg_off = cfg.replace(fused_reroute_min_aspect=1.0)
+    assert should_reroute_rotation(np.stack(straight + [sq_noise]), cfg_off)
