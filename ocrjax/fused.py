@@ -61,7 +61,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         never recompile the heavy detection graph (same split as api_det).
         valid_wh: (B, 2) float32 per-page valid (width, height) on the
         canvas — crop expansion clips against it so the warp never samples
-        canvas padding (which is black and reads as ink to the snap)."""
+        canvas padding (replicated border rows: duplicated glyph streaks
+        would read as ink to the snap)."""
         B = gray_u8.shape[0]
         gray_u8 = preprocess.unpack_on_device(gray_u8, cfg)
         # ---- detection -----------------------------------------------------

@@ -159,7 +159,12 @@ def det_resize_to_canvas(
     """Resize a page onto the fixed (S, S, 3) detection canvas.
 
     Long side is scaled to exactly `det_max_side` when larger (never
-    upscaled), short side keeps aspect; the rest of the canvas is zero.
+    upscaled), short side keeps aspect; the rest of the canvas REPLICATES
+    the page's border row/column (same rationale as tiling._run_tiles:
+    zero padding puts a hard white→black step edge at the content
+    boundary, which is out of the det training distribution — measured,
+    it suppresses the prob map on text within ~10 px of the page edge,
+    max 0.43 vs 0.999 replicate-padded, dropping the line entirely).
     Returns (canvas uint8, scale, (valid_h, valid_w)); original coords =
     canvas coords / scale.
     """
@@ -173,8 +178,10 @@ def det_resize_to_canvas(
         resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
     else:
         resized = img
-    canvas = np.zeros((S, S, 3), np.uint8)
+    canvas = np.empty((S, S, 3), np.uint8)
     canvas[:nh, :nw] = resized
+    canvas[nh:, :nw] = resized[-1:]
+    canvas[:, nw:] = canvas[:, nw - 1:nw]
     return canvas, nh / h, (nh, nw)
 
 

@@ -46,7 +46,13 @@ def test_det_canvas_fixed_shape_and_scale():
     assert nw == 256 and nh == 64
     assert abs(scale - 0.64) < 1e-6
     assert canvas[:nh, :nw].mean() > 190          # content area
-    assert canvas[nh:].sum() == 0                 # padding is zero
+    # padding replicates the border row/col (no artificial step edge)
+    np.testing.assert_array_equal(canvas[nh:, :nw],
+                                  np.broadcast_to(canvas[nh - 1:nh, :nw],
+                                                  canvas[nh:, :nw].shape))
+    np.testing.assert_array_equal(canvas[:, nw:],
+                                  np.broadcast_to(canvas[:, nw - 1:nw],
+                                                  canvas[:, nw:].shape))
 
 
 def test_det_canvas_never_upscales():

@@ -64,3 +64,30 @@ def test_batch_of_mixed_lines(engine):
     strips = [render_line(t, height=32) for t in SAMPLES]
     results = engine.recognize_strips(strips)
     assert [r.text for r in results] == SAMPLES
+
+
+def test_detects_line_adjacent_to_page_border():
+    """A line within ~10 px of the page edge must still be detected when
+    the page is smaller than the det canvas. Zero canvas padding put a
+    hard white→black step edge at the content boundary — out of the det
+    training distribution — and suppressed the prob map on border-adjacent
+    text (measured max 0.43 vs thresh; the line vanished). The canvas now
+    replicate-pads (preprocess.det_resize_to_canvas), like tiling does.
+    """
+    from ocrjax.train.synth import render_line as _rl
+
+    eng = OcrEngine.from_pretrained()
+    eng.config = eng.config.replace(det_max_side=512)
+    # h=16/gap=10 is a measured diverging case (missed zero-padded, found
+    # replicate-padded, every DejaVu family at page sizes 340 and 480)
+    page = np.full((340, 340), 255, np.uint8)
+    strip = 255 - _rl("\\.8Tj7GgN8", height=16)  # black-on-white ink
+    sh, sw = strip.shape
+    y0 = 340 - sh - 10                       # 10 px from the bottom edge
+    page[y0:y0 + sh, 40:40 + sw] = strip
+    img = np.repeat(page[..., None], 3, axis=2)
+    boxes = eng.detect(img)
+    assert boxes, "border-adjacent line not detected"
+    b = boxes[0].quad
+    cy = b[:, 1].mean()
+    assert abs(cy - (y0 + sh / 2)) < sh, (cy, y0)
