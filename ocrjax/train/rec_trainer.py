@@ -96,6 +96,7 @@ def train_rec(
     quantize_p: float = 0.0,
     p_word: float = 0.0,
     stretch: float = 0.0,
+    font_weights=None,
 ) -> TrainResult:
     """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
     shipped assets — must match the model built from `config`/`charset`.
@@ -145,7 +146,7 @@ def train_rec(
                 rng, charset, batch_size, width, config.rec_height,
                 max_len=max_len, p_space=p_space, max_rotation=aug_rotation,
                 char_weights=char_weights, quantize_p=quantize_p,
-                p_word=p_word, stretch=stretch)
+                p_word=p_word, stretch=stretch, font_weights=font_weights)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state,
             jnp.asarray(lb.images), jnp.asarray(lb.widths),

@@ -152,6 +152,7 @@ def make_line_batch(
     quantize_p: float = 0.0,
     p_word: float = 0.0,
     stretch: float = 0.0,
+    font_weights=None,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -167,12 +168,21 @@ def make_line_batch(
     [1/(1+stretch), 1+stretch] — the aspect distortion the two-pass ink
     refinement introduces when it rescales a sub-full-height ink band to
     the full strip height (measured ~1.3x on serving crops; unaugmented
-    weights read '0'→'O' from 1.2x on)."""
+    weights read '0'→'O' from 1.2x on).
+    font_weights: optional per-font sampling probabilities (len(fonts),
+    normalized here) — concentrates training on the measured weak face
+    (per-font e2e breakdown, DESIGN.md §4) instead of uniform fonts."""
     images = np.zeros((batch_size, height, width), np.uint8)
     widths = np.zeros((batch_size,), np.int32)
     labels = np.zeros((batch_size, max_label), np.int32)
     label_lengths = np.zeros((batch_size,), np.int32)
     texts = []
+    fw = None
+    if font_weights is not None:
+        fw = np.asarray(font_weights, np.float64)
+        if fw.shape != (len(fonts),):
+            raise ValueError(f"font_weights {fw.shape} != ({len(fonts)},)")
+        fw = fw / fw.sum()
     for b in range(batch_size):
         while True:
             if p_word > 0 and rng.rand() < p_word:
@@ -188,8 +198,9 @@ def make_line_batch(
             # the native height so the resize-free path is also sharp.
             render_h = (height if rng.rand() < 0.34
                         else int(rng.randint(height * 2 // 3, height * 2)))
-            strip = render_line(
-                text, render_h, fonts[rng.randint(len(fonts))], rng, noise)
+            fidx = (rng.choice(len(fonts), p=fw) if fw is not None
+                    else rng.randint(len(fonts)))
+            strip = render_line(text, render_h, fonts[fidx], rng, noise)
             if max_rotation > 0 and rng.rand() < 0.5:
                 import cv2
                 ang = rng.uniform(-max_rotation, max_rotation)

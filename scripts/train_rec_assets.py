@@ -68,6 +68,13 @@ def main():
                          "(Il|1i O0o sS cC zZ xX vV wW _) relative to other "
                          "chars — concentrates training on the measured "
                          "e2e miss classes")
+    ap.add_argument("--font-bias", default=None, metavar="NAME:W[,NAME:W]",
+                    help="per-font sampling weight multipliers, matched as "
+                         "basename substrings (pass 'DejaVuSans.ttf:4' for "
+                         "the exact regular face — 'DejaVuSans' alone also "
+                         "matches Mono/Bold). Unmatched fonts keep weight 1. "
+                         "Targets the measured weak face (DESIGN.md §4 "
+                         "per-font breakdown) instead of uniform sampling")
     ap.add_argument("--l-bias", type=float, default=1.0,
                     help="sampling weight of 'l' relative to other chars "
                          "(sets the prior for the ambiguous l/I stroke)")
@@ -92,6 +99,22 @@ def main():
     from ocrjax.charset import default_charset
     from ocrjax.config import OcrConfig
     from ocrjax.train.rec_trainer import train_rec
+
+    font_weights = None
+    if args.font_bias:
+        from ocrjax.train import synth
+        font_weights = [1.0] * len(synth.FONTS)
+        for spec in args.font_bias.split(","):
+            name, w = spec.rsplit(":", 1)
+            hit = [i for i, f in enumerate(synth.FONTS)
+                   if name in os.path.basename(f)]
+            if not hit:
+                raise SystemExit(f"--font-bias: no font matches {name!r}")
+            for i in hit:
+                font_weights[i] *= float(w)
+        print("font weights:", {os.path.basename(f): round(w, 2)
+                                for f, w in zip(synth.FONTS, font_weights)},
+              flush=True)
 
     # Flagship "small" config: real two-stage production models are compact
     # (PP-OCR class); this keeps checked-in assets under ~10 MB while leaving
@@ -150,6 +173,7 @@ def main():
         p_word=args.p_word,
         stretch=args.stretch,
         char_weights=_char_weights(args),
+        font_weights=font_weights,
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,

@@ -73,3 +73,35 @@ def test_make_line_batch_stretch():
         assert cs.decode(lab[:ln]) == t
     # the augmentation actually fires: width distribution differs
     assert not np.array_equal(a.widths, b.widths)
+
+
+def test_make_line_batch_font_weights():
+    """font_weights concentrates sampling: a one-hot weight renders every
+    strip with that font (observed via a recording render_line shim)."""
+    cs = default_charset()
+    seen = []
+    real = synth.render_line
+
+    def spy(text, h, font, rng, noise):
+        seen.append(font)
+        return real(text, h, font, rng, noise)
+
+    orig = synth.render_line
+    synth.render_line = spy
+    try:
+        w = [0.0] * len(synth.FONTS)
+        k = next(i for i, f in enumerate(synth.FONTS) if "Mono" in f)
+        w[k] = 1.0
+        synth.make_line_batch(np.random.RandomState(7), cs, 12, 192,
+                              max_len=6, font_weights=w)
+    finally:
+        synth.render_line = orig
+    assert seen and all(f == synth.FONTS[k] for f in seen)
+
+    # wrong length is rejected
+    try:
+        synth.make_line_batch(np.random.RandomState(7), cs, 2, 192,
+                              font_weights=[1.0])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
