@@ -120,19 +120,20 @@ def main():
     with open(detail_path, "w") as f:
         json.dump(report, f, indent=2)
 
-    value = report["pages_per_sec"]
+    value = report["pages_per_sec_median"]
     print(json.dumps({
-        # peak sustained = best full-batch window across the run (protocol
-        # note: the host<->TPU tunnel here has multi-minute congestion
-        # episodes swinging link-bound throughput ~10-50x for identical
-        # code; windows + the median are recorded alongside so the link's
-        # state during THIS run is visible, and pages_per_sec_device is the
-        # congestion-free compute ceiling of the same program).
-        "metric": "pages_per_sec_per_chip_e2e_peak_sustained",
+        # headline = MEDIAN full-batch window (VERDICT r2 #9: the number a
+        # reader compares against the ≥50 target should be the typical
+        # window, not the best one). Peak-sustained and the raw windows are
+        # recorded alongside; protocol note: the host<->TPU tunnel here has
+        # multi-minute congestion episodes swinging link-bound throughput
+        # ~10-50x for identical code, and pages_per_sec_device is the
+        # congestion-free compute ceiling of the same program.
+        "metric": "pages_per_sec_per_chip_e2e_median",
         "value": round(value, 2),
         "unit": "pages/s",
         "vs_baseline": round(value / BASELINE_PAGES_PER_SEC, 3),
-        "median_pages_per_sec": round(report["pages_per_sec_median"], 1),
+        "peak_pages_per_sec": round(report["pages_per_sec"], 1),
         "device_pages_per_sec": round(report["pages_per_sec_device"], 1),
         "fused_windows": report["pages_per_sec_fused_windows"],
         "bucketed_windows": report["pages_per_sec_bucketed_windows"],

@@ -71,6 +71,19 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
         from ocrjax.models import db_int8
         prob = db_int8.apply_prob(st.model, det_vars, x,
                                   cfg.det_int8)                # (B, S, S)
+        # Zero the prob map outside each page's valid (w, h) BEFORE candidate
+        # extraction: replicate padding can contain duplicated glyph streaks
+        # when ink touches the page border, and the fused top-K select would
+        # let such padding detections evict real lines from the K slots —
+        # the host-side padding-center filter below runs only on the K
+        # survivors, too late (ADVICE r2). The staged/bucketed paths filter
+        # all candidates on host and don't need this.
+        Sdim = prob.shape[-1]
+        xi = jax.lax.broadcasted_iota(jnp.float32, (1, Sdim, Sdim), 2)
+        yi = jax.lax.broadcasted_iota(jnp.float32, (1, Sdim, Sdim), 1)
+        in_valid = ((xi < valid_wh[:, 0, None, None])
+                    & (yi < valid_wh[:, 1, None, None]))
+        prob = jnp.where(in_valid, prob, 0.0)
         cand = jax.vmap(lambda p: db_boxes.extract_boxes(
             p, thresh=thr[0], box_thresh=thr[1],
             unclip_ratio=thr[2],
@@ -390,13 +403,22 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
         # already on host, so straight pages — the common case — pay
         # nothing. Rerouted pages are collected and re-run as ONE staged
         # batch instead of N serial single-page pipelines (ADVICE r1).
+        # Padding-artifact boxes are excluded from the vote with the same
+        # center-in-valid predicate as the line loop below (ADVICE r2): an
+        # axis-aligned streak box in padding reads as 90° tilt and could
+        # force a spurious rot90 redo or dilute the median on a true
+        # landscape page.
+        nh, nw = valid_hw[i]
+        vq = quads[i][valid[i]]
+        if len(vq):
+            ctr = vq.mean(axis=1)
+            vq = vq[(ctr[:, 0] < nw) & (ctr[:, 1] < nh)]
         if (cfg.fused_rotation_reroute_deg > 0
-                and len(quads[i][valid[i]])
-                and should_reroute_rotation(quads[i][valid[i]], cfg)):
+                and len(vq)
+                and should_reroute_rotation(vq, cfg)):
             reroute.append(i)
             results.append(None)  # placeholder, filled below
             continue
-        nh, nw = valid_hw[i]
         lines = []
         qs, metas = [], []
         for k in np.where(valid[i])[0]:

@@ -153,6 +153,7 @@ def make_line_batch(
     p_word: float = 0.0,
     stretch: float = 0.0,
     font_weights=None,
+    degrade: float = 0.0,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -171,7 +172,12 @@ def make_line_batch(
     weights read '0'→'O' from 1.2x on).
     font_weights: optional per-font sampling probabilities (len(fonts),
     normalized here) — concentrates training on the measured weak face
-    (per-font e2e breakdown, DESIGN.md §4) instead of uniform fonts."""
+    (per-font e2e breakdown, DESIGN.md §4) instead of uniform fonts.
+    degrade > 0: probability of scan-degradation augmentation per strip
+    (degrade_image at a random level in [0.25, 1.0]) — blur, noise, JPEG,
+    contrast squeeze, illumination texture. Applied AFTER the geometric
+    augmentations, mirroring serving (a degraded scan is degraded before
+    the warp crops it)."""
     images = np.zeros((batch_size, height, width), np.uint8)
     widths = np.zeros((batch_size,), np.int32)
     labels = np.zeros((batch_size, max_label), np.int32)
@@ -182,6 +188,9 @@ def make_line_batch(
         fw = np.asarray(font_weights, np.float64)
         if fw.shape != (len(fonts),):
             raise ValueError(f"font_weights {fw.shape} != ({len(fonts)},)")
+        if fw.sum() <= 0:
+            raise ValueError("font_weights sum to zero — every font would "
+                             "have probability NaN")
         fw = fw / fw.sum()
     for b in range(batch_size):
         while True:
@@ -257,6 +266,8 @@ def make_line_batch(
                                    interpolation=cv2.INTER_LINEAR)
             if strip.shape[1] <= width and len(text) <= max_label:
                 break
+        if degrade > 0 and rng.rand() < degrade:
+            strip = degrade_image(strip, rng, level=rng.uniform(0.25, 1.0))
         if quantize_p > 0 and rng.rand() < quantize_p:
             from ocrjax import preprocess as _P
             s = strip if strip.shape[1] % 2 == 0 else np.pad(
@@ -271,6 +282,61 @@ def make_line_batch(
         label_lengths[b] = len(ids)
         texts.append(text)
     return LineBatch(images, widths, labels, label_lengths, texts)
+
+
+# ---------------------------------------------------------------------------
+# Scan degradation (BASELINE.json:5's bar is ICDAR-class photographs/scans;
+# no datasets exist offline, so degraded synthetic renders are the closest
+# buildable proxy — VERDICT r2 missing #2)
+# ---------------------------------------------------------------------------
+
+def degrade_image(img: np.ndarray, rng: np.random.RandomState,
+                  level: float = 1.0) -> np.ndarray:
+    """Apply scan/photo degradations to a grayscale uint8 image.
+
+    level in (0, 1] scales every parameter range; each degradation fires
+    independently so combinations occur (a JPEG-compressed blurry photo of
+    textured paper). The menu models the ICDAR failure classes the clean
+    PIL renders never show: defocus/motion blur, sensor noise, JPEG block
+    artifacts, low-contrast scans, and uneven paper/illumination texture.
+    Geometry is NEVER changed (ground-truth quads stay exact).
+    """
+    import cv2
+
+    lv = float(level)
+    out = img.astype(np.float32)
+    h, w = out.shape
+
+    # uneven illumination / paper texture: low-frequency multiplicative
+    # field (bilinear-upsampled coarse noise), darkens or brightens patches
+    if rng.rand() < 0.5 * lv + 0.2:
+        gh, gw = max(2, h // 64), max(2, w // 64)
+        field = rng.uniform(1.0 - 0.25 * lv, 1.0 + 0.10 * lv,
+                            (gh, gw)).astype(np.float32)
+        field = cv2.resize(field, (w, h), interpolation=cv2.INTER_LINEAR)
+        out = out * field
+    # contrast squeeze: gray paper, faint ink
+    if rng.rand() < 0.5 * lv + 0.2:
+        lo = rng.uniform(0.0, 70.0 * lv)
+        hi = rng.uniform(255.0 - 80.0 * lv, 255.0)
+        out = lo + out * ((hi - lo) / 255.0)
+    # defocus blur
+    if rng.rand() < 0.5 * lv + 0.2:
+        sigma = rng.uniform(0.4, 0.5 + 1.0 * lv)
+        out = cv2.GaussianBlur(out, (0, 0), sigma)
+    # sensor noise
+    if rng.rand() < 0.5 * lv + 0.2:
+        out = out + rng.randn(h, w).astype(np.float32) \
+            * rng.uniform(2.0, 14.0 * lv)
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    # JPEG block artifacts
+    if rng.rand() < 0.4 * lv + 0.1:
+        q = int(rng.uniform(max(15.0, 75.0 - 55.0 * lv), 80.0))
+        ok, enc = cv2.imencode(".jpg", out,
+                               [cv2.IMWRITE_JPEG_QUALITY, q])
+        if ok:
+            out = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,15 @@ def main():
     ap.add_argument("--l-bias", type=float, default=1.0,
                     help="sampling weight of 'l' relative to other chars "
                          "(sets the prior for the ambiguous l/I stroke)")
+    ap.add_argument("--font-anneal-frac", type=float, default=0.0,
+                    help="switch --font-bias back to uniform fonts for the "
+                         "final FRAC of steps (the gentle-bias recipe, "
+                         "DESIGN.md §4: bias early, re-balance before the "
+                         "weights freeze)")
+    ap.add_argument("--degrade", type=float, default=0.0,
+                    help="probability of scan-degradation augmentation per "
+                         "synthetic strip (blur/noise/JPEG/contrast/"
+                         "illumination — synth.degrade_image)")
     ap.add_argument("--det-rotation", type=float, default=0.0,
                     help="per-line rotation range of det-crop pages")
     ap.add_argument("--mix-det-crops", type=int, default=0, metavar="PAGES",
@@ -105,6 +114,9 @@ def main():
         from ocrjax.train import synth
         font_weights = [1.0] * len(synth.FONTS)
         for spec in args.font_bias.split(","):
+            if ":" not in spec:
+                raise SystemExit(
+                    f"--font-bias: expected NAME:WEIGHT, got {spec!r}")
             name, w = spec.rsplit(":", 1)
             hit = [i for i, f in enumerate(synth.FONTS)
                    if name in os.path.basename(f)]
@@ -174,6 +186,8 @@ def main():
         stretch=args.stretch,
         char_weights=_char_weights(args),
         font_weights=font_weights,
+        font_anneal_frac=args.font_anneal_frac,
+        degrade=args.degrade,
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,
