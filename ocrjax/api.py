@@ -220,7 +220,8 @@ class OcrEngine:
 
     def recognize(self, image: ImageLike, beam: bool = False) -> RecResult:
         """C1: single pre-cropped text-line image → one string."""
-        img = preprocess.load_image(image)
+        img = preprocess.load_image(
+            image, auto_invert=self.config.auto_invert)
         return self.recognize_strips([img], beam=beam)[0]
 
     # ------------------------------------------------------------------
@@ -259,14 +260,11 @@ class OcrEngine:
 
     def ocr_tiled_batch(self, images: Sequence[ImageLike],
                         beam: bool = False) -> List[OcrResult]:
-        """Multi-page C5 driver with per-page error isolation."""
-        out = []
-        for image in images:
-            try:
-                out.append(self.ocr_tiled(image, beam=beam))
-            except (FileNotFoundError, ValueError):
-                out.append(OcrResult(lines=[]))
-        return out
+        """Multi-page C5 driver: pipelined tile detection + cross-page
+        pooled recognition, with per-page error isolation
+        (tiling.ocr_tiled_batch)."""
+        from ocrjax import tiling
+        return tiling.ocr_tiled_batch(self, images, beam=beam)
 
 
 # ---------------------------------------------------------------------------

@@ -118,10 +118,18 @@ def _detect_canvas(engine, image, gray_fn=None):
     consumed — downstream warps reuse it instead of re-uploading.
     gray_fn: RGB→luma projection (default 601 luma; the color reroute
     passes preprocess.to_gray_minchannel)."""
-    img = preprocess.load_image(image)
-    canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(
-        img, engine.config)
-    canvas = (gray_fn or preprocess.to_gray)(canvas)
+    img = preprocess.load_image(
+        image, auto_invert=engine.config.auto_invert)
+    native = (preprocess.decode_canvas_native(img, engine.config)
+              if gray_fn is None else None)
+    if native is not None:
+        # fused C++ canvas decode (img is already polarity-canonicalized,
+        # so the native inversion check is an idempotent no-op)
+        canvas, scale, (nh, nw) = native[0], native[1], native[2]
+    else:
+        canvas, scale, (nh, nw) = preprocess.det_resize_to_canvas(
+            img, engine.config)
+        canvas = (gray_fn or preprocess.to_gray)(canvas)
     st = _det_state(engine)
     canvas_dev = jnp.asarray(
         preprocess.pack_for_upload(canvas[None], engine.config))
@@ -164,7 +172,8 @@ def ocr(engine, image, beam: bool = False,
     if color:
         force_staged = True
     if cfg.ocr_single_fused and not force_staged:
-        img = preprocess.load_image(image)
+        img = preprocess.load_image(
+            image, auto_invert=cfg.auto_invert)
         if max(img.shape[:2]) <= cfg.det_max_side:
             # Latency path: one XLA program, one upload, one fetch (~2 link
             # RTTs) instead of the ~6 syncs of the staged path below. Only

@@ -287,7 +287,8 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
         from ocrjax.api import DetBox, OcrLine
         rots, ws = [], []
         for i in rot90_pages:
-            img = preprocess.load_image(images[i])
+            img = preprocess.load_image(
+                images[i], auto_invert=engine.config.auto_invert)
             ws.append(img.shape[1])
             rots.append(np.ascontiguousarray(np.rot90(img)))
         rres = ocr_pages(engine, rots, beam=beam, _allow_rot90=False)

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "strips on device before the CRNN; mostly-"
                              "flipped pages also read in reversed order. "
                              "Small extra cost (cls net + one flip gather)")
+        sp.add_argument("--no-auto-invert", action="store_true",
+                        help="disable polarity canonicalization (by default "
+                             "light-ink-on-dark pages are inverted at decode"
+                             " — config.auto_invert)")
         sp.add_argument("--viz", default=None, metavar="PATH",
                         help="write a debug visualization (detected quads +"
                              " text drawn on the page); for multiple inputs"
@@ -111,6 +115,8 @@ def _make_engine(args):
         overrides["rec_try_flip"] = True
     if getattr(args, "det_int8", False):
         overrides["det_int8"] = True
+    if getattr(args, "no_auto_invert", False):
+        overrides["auto_invert"] = False
     if overrides:
         engine.config = engine.config.replace(**overrides)
         engine._det = None  # force rebuild with new static config

@@ -23,6 +23,19 @@ class OcrConfig:
     det_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     det_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
+    auto_invert: bool = True         # polarity canonicalization at decode:
+                                     # a light-ink-on-dark page (median
+                                     # subsampled luma < 128 — text pages
+                                     # are mostly background, so the median
+                                     # tracks the background shade) is
+                                     # inverted before ANY processing. The
+                                     # whole stack — synth training data,
+                                     # DB shrink targets, ink-band refine —
+                                     # assumes dark ink on light paper;
+                                     # quad coordinates are unaffected by
+                                     # inversion, so this is a pure input
+                                     # transform (preprocess.load_image)
+
     det_head_stride: int = 1         # det prob-map stride vs the canvas: 4
                                      # detects on the FPN's native S/4 grid
                                      # (cuts the head's learned upsampling —
@@ -145,6 +158,16 @@ class OcrConfig:
     tile_size: int = 2048            # C5: tiled detection at 2048px
     tile_overlap: int = 128
     tile_merge_iou: float = 0.3
+    tile_max_candidates: int = 384   # per-TILE candidate cap for the C5
+                                     # path: a dense 2048px tile holds 250+
+                                     # short lines (BASELINE.json:11
+                                     # "hundreds of lines/page"), where the
+                                     # 960px-sized det_max_candidates would
+                                     # silently drop raster-late lines.
+                                     # A tile whose valid count REACHES the
+                                     # cap marks the page truncated
+                                     # (OcrResult.truncated) — the recorded
+                                     # semantics for pages beyond capacity
 
     # --- runtime ---
     compute_dtype: str = "bfloat16"  # MXU-native dtype for conv/matmul
@@ -183,5 +206,6 @@ TINY = OcrConfig(
     det_max_candidates=64,
     tile_size=256,
     tile_overlap=32,
+    tile_max_candidates=64,
     compute_dtype="float32",
 )

@@ -59,6 +59,14 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.occ_pack_nibbles.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        if hasattr(lib, "occ_decode_canvas"):  # added round 3
+            lib.occ_decode_canvas.restype = None
+            lib.occ_decode_canvas.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 

@@ -49,39 +49,28 @@ def _seam_bands(corners: List[Tuple[int, int]], tile: int):
     return bands(xs), bands(ys)
 
 
-def _same_line_fragments(qa: np.ndarray, qb: np.ndarray,
-                         x_bands) -> bool:
-    """True when two quads look like left/right fragments of ONE text line
-    cut by a tile seam: their vertical bands coincide and their x-ranges
-    meet — or are separated by a small gap lying INSIDE a tile-overlap
-    band (detection shrink can leave an inter-character gap right at the
-    cut). AABB IoU alone misses both cases — two wide fragments sharing
-    only the overlap strip have tiny IoU (measured: seam-split lines
-    decoded as two half-strings)."""
-    ya0, ya1 = qa[:, 1].min(), qa[:, 1].max()
-    yb0, yb1 = qb[:, 1].min(), qb[:, 1].max()
-    inter_y = min(ya1, yb1) - max(ya0, yb0)
-    min_h = max(min(ya1 - ya0, yb1 - yb0), 1.0)
-    if inter_y < 0.7 * min_h:
-        return False
-    xa0, xa1 = qa[:, 0].min(), qa[:, 0].max()
-    xb0, xb1 = qb[:, 0].min(), qb[:, 0].max()
-    meet = min(xa1, xb1) - max(xa0, xb0)
-    if meet >= 2.0:                              # ranges meet/overlap
-        return True
-    gap0, gap1 = min(xa1, xb1), max(xa0, xb0)    # the gap interval
-    if gap1 - gap0 > 1.5 * min_h:                # more than ~a character
-        return False
-    pad = 4.0
-    return any(gap0 >= b0 - pad and gap1 <= b1 + pad
-               for (b0, b1) in x_bands)
-
-
 def _merge_seam_boxes(quads: List[np.ndarray], scores: List[float],
-                      iou_thresh: float, x_bands=()
+                      iou_thresh: float, x_bands=(), tile_ids=None
                       ) -> Tuple[List[np.ndarray], List[float]]:
-    """Union-merge seam duplicates (hull overlap) and seam line-fragments
-    (same row band, meeting x-ranges or a small in-seam gap)."""
+    """Union-merge seam duplicates (hull overlap) and seam line-fragments.
+
+    Two quads are fragments of ONE text line cut by a tile seam when their
+    vertical bands coincide and their x-ranges meet — or are separated by a
+    small gap lying INSIDE a tile-overlap band (detection shrink can leave
+    an inter-character gap right at the cut). AABB IoU alone misses both
+    cases — two wide fragments sharing only the overlap strip have tiny IoU
+    (measured: seam-split lines decoded as two half-strings).
+
+    tile_ids (optional, (n,) int): the fragment rule only fires across
+    DIFFERENT tiles — seam fragments by definition come from two tiles,
+    while on a dense page two unclip-expanded NEIGHBOR lines in one row of
+    one tile can overlap by a few px and must NOT merge (measured: whole
+    rows collapsing into one box at 200 lines/page). The IoU-duplicate
+    rule stays tile-agnostic.
+
+    All pair predicates are vectorized numpy over (n, n) AABB matrices:
+    dense C5 pages carry hundreds of quads, where the original per-pair
+    Python loop was O(n²) interpreter work (~1.7 s at n=300, measured)."""
     n = len(quads)
     parent = list(range(n))
 
@@ -91,11 +80,35 @@ def _merge_seam_boxes(quads: List[np.ndarray], scores: List[float],
             a = parent[a]
         return a
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            if geometry.quad_iou_aabb(quads[i], quads[j]) > iou_thresh \
-                    or _same_line_fragments(quads[i], quads[j], x_bands):
-                parent[find(i)] = find(j)
+    if n > 1:
+        q = np.stack(quads)                      # (n, 4, 2)
+        x0, y0 = q[:, :, 0].min(axis=1), q[:, :, 1].min(axis=1)
+        x1, y1 = q[:, :, 0].max(axis=1), q[:, :, 1].max(axis=1)
+        iw = np.minimum(x1[:, None], x1) - np.maximum(x0[:, None], x0)
+        ih = np.minimum(y1[:, None], y1) - np.maximum(y0[:, None], y0)
+        inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+        area = (x1 - x0) * (y1 - y0)
+        iou = inter / np.maximum(area[:, None] + area - inter, 1e-9)
+        dup = iou > iou_thresh
+
+        min_h = np.maximum(np.minimum(
+            (y1 - y0)[:, None], (y1 - y0)[None, :]), 1.0)
+        same_row = ih >= 0.7 * min_h
+        meet = iw >= 2.0
+        gap0 = np.minimum(x1[:, None], x1)       # the gap interval
+        gap1 = np.maximum(x0[:, None], x0)
+        small_gap = (gap1 - gap0) <= 1.5 * min_h  # ≤ ~a character wide
+        in_band = np.zeros((n, n), bool)
+        for (b0, b1) in x_bands:
+            in_band |= (gap0 >= b0 - 4.0) & (gap1 <= b1 + 4.0)
+        frag = same_row & (meet | (small_gap & in_band))
+        if tile_ids is not None:
+            t = np.asarray(tile_ids)
+            frag &= t[:, None] != t[None, :]
+
+        ii, jj = np.nonzero(np.triu(dup | frag, k=1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            parent[find(i)] = find(j)
 
     groups = {}
     for i in range(n):
@@ -112,35 +125,27 @@ def _merge_seam_boxes(quads: List[np.ndarray], scores: List[float],
     return out_q, out_s
 
 
-def _run_tiles(engine, img: np.ndarray):
-    """Tile a page and run chunked DB detection over the tiles.
 
-    Returns (corners, dev_tiles, boxes, scores, valid, merged) where
-    dev_tiles is the list of uploaded (packed) device tile chunks — kept so
-    ocr_tiled's recognition reuses the SAME upload — and merged is the
-    seam-merged (quads, scores) in the original image frame.
+
+def _tile_forward(engine):
+    """Cached jitted tile program: packed luma tiles → packed candidates.
+
+    Cached per engine + config (the original per-call @jax.jit closure
+    retraced AND recompiled the DB tile graph on EVERY page — multi-page
+    C5 documents paid a full XLA compile per page). Returns (fwd, tcfg)
+    where tcfg carries the per-tile candidate cap (dense C5 tiles hold
+    250+ lines where det_max_candidates, sized for 960px C4 canvases,
+    silently drops raster-late components — BASELINE.json:11).
     """
-    from ocrjax.api_det import _det_state, pack_det, unpack_det
+    from ocrjax.api_det import _det_state, pack_det
     from ocrjax.postprocess import db_boxes
 
     cfg = engine.config
-    h, w = img.shape[:2]
-    T = cfg.tile_size
-    corners = tile_grid(h, w, T, cfg.tile_overlap)
-
-    # pad image so every tile is full-size (fixed shapes); luma tiles —
-    # single-channel uploads (see det_normalize_gray). REPLICATE padding:
-    # zero padding puts a hard white→black edge at the page border, which
-    # the detector reads as a text-like stroke (measured: a tall spurious
-    # box hugging the border that also corrupts reading-order row
-    # clustering); edge replication makes the pad seamless for any
-    # background shade.
-    gray = preprocess.to_gray(img)
-    ph, pw = max(h, T), max(w, T)
-    padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
-
-    tiles = np.stack([padded[y:y + T, x:x + T] for (y, x) in corners])
-
+    cached = getattr(engine, "_tile_fwd_cache", None)
+    if cached is not None and cached[0] == cfg:
+        return cached[1], cached[2]
+    tcfg = cfg.replace(det_max_candidates=max(
+        cfg.det_max_candidates, cfg.tile_max_candidates))
     st = _det_state(engine)
 
     @jax.jit
@@ -151,36 +156,101 @@ def _run_tiles(engine, img: np.ndarray):
         from ocrjax.models import db_int8
         prob = db_int8.apply_prob(st.model, variables, x, cfg.det_int8)
         return pack_det(jax.vmap(
-            lambda p: db_boxes.extract_boxes_from_config(p, cfg))(prob))
+            lambda p: db_boxes.extract_boxes_from_config(p, tcfg))(prob))
 
-    dev_tiles = []
+    engine._tile_fwd_cache = (cfg, fwd, tcfg)
+    return fwd, tcfg
 
-    def run_chunked(tiles_np: np.ndarray, depth: int = 0):
-        """OOM fallback (SURVEY.md §5 failure detection): halve the tile
-        batch and retry when the device runs out of memory."""
-        try:
-            dev = jnp.asarray(preprocess.pack_for_upload(tiles_np, cfg))
-            out = unpack_det(np.asarray(fwd(st.variables, dev)),
-                             cfg.det_max_candidates)
-            dev_tiles.append(dev)
-            return out
-        except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
-            if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
-                    or len(tiles_np) <= 1:
-                raise
-            from ocrjax.utils.logging import get_logger, log_fields
-            log_fields(get_logger("ocrjax.tiling"), "warning",
-                       "device OOM: halving tile batch",
-                       tiles=len(tiles_np), depth=depth)
-            mid = len(tiles_np) // 2
-            parts = [run_chunked(tiles_np[:mid], depth + 1),
-                     run_chunked(tiles_np[mid:], depth + 1)]
-            return tuple(np.concatenate([p[i] for p in parts])
-                         for i in range(3))
 
-    boxes, scores, valid = run_chunked(tiles)  # boxes (n_tiles, C, 4, 2)
+def _prep_page(engine, img: np.ndarray):
+    """Host-side tile plan: (corners, tiles u8 (n, T, T)).
 
-    quads, ss = [], []
+    Pads the page so every tile is full-size (fixed shapes); luma tiles —
+    single-channel uploads (see det_normalize_gray). REPLICATE padding:
+    zero padding puts a hard white→black edge at the page border, which
+    the detector reads as a text-like stroke (measured: a tall spurious
+    box hugging the border that also corrupts reading-order row
+    clustering); edge replication makes the pad seamless for any
+    background shade.
+    """
+    cfg = engine.config
+    h, w = img.shape[:2]
+    T = cfg.tile_size
+    corners = tile_grid(h, w, T, cfg.tile_overlap)
+    gray = preprocess.to_gray(img)
+    ph, pw = max(h, T), max(w, T)
+    padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
+    tiles = np.stack([padded[y:y + T, x:x + T] for (y, x) in corners])
+    return corners, tiles
+
+
+def _dispatch_page(engine, tiles: np.ndarray):
+    """Upload a page's tiles and launch the detection program WITHOUT
+    reading the result (dispatch ahead, fetch late — DESIGN.md §2):
+    returns (dev, packed, tiles) for _fetch_page."""
+    from ocrjax.api_det import _det_state
+
+    fwd, _ = _tile_forward(engine)
+    st = _det_state(engine)
+    dev = jnp.asarray(preprocess.pack_for_upload(tiles, engine.config))
+    packed = fwd(st.variables, dev)
+    try:
+        packed.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+    return dev, packed, tiles
+
+
+def _fetch_page(engine, dispatched, depth: int = 0):
+    """Block on a dispatched page's candidates → (dev_tiles, boxes, scores,
+    valid). On device OOM the page's tiles redo in halves (SURVEY.md §5
+    failure detection), synchronously."""
+    from ocrjax.api_det import _det_state, unpack_det
+
+    fwd, tcfg = _tile_forward(engine)
+    st = _det_state(engine)
+    dev, packed, tiles = dispatched
+    try:
+        out = unpack_det(np.asarray(packed), tcfg.det_max_candidates)
+        return [dev], out[0], out[1], out[2]
+    except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
+        if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
+                or len(tiles) <= 1:
+            raise
+        from ocrjax.utils.logging import get_logger, log_fields
+        log_fields(get_logger("ocrjax.tiling"), "warning",
+                   "device OOM: halving tile batch",
+                   tiles=len(tiles), depth=depth)
+        del dev, packed
+        mid = len(tiles) // 2
+        parts = [_fetch_page(engine, _dispatch_page(engine, tiles[:mid]),
+                             depth + 1),
+                 _fetch_page(engine, _dispatch_page(engine, tiles[mid:]),
+                             depth + 1)]
+        return (parts[0][0] + parts[1][0],
+                np.concatenate([parts[0][1], parts[1][1]]),
+                np.concatenate([parts[0][2], parts[1][2]]),
+                np.concatenate([parts[0][3], parts[1][3]]))
+
+
+def _merge_page(engine, corners, boxes, scores, valid, h, w):
+    """Candidates → seam-merged page-frame (quads, scores) + saturation.
+
+    Truncation semantics (BASELINE.json:11 beyond-capacity pages): a tile
+    whose valid candidates REACH the per-tile cap may hold more lines than
+    extract_boxes could return (components past the cap drop in raster
+    order, i.e. the page bottom goes first) — the page is flagged truncated
+    rather than silently short."""
+    cfg = engine.config
+    _, tcfg = _tile_forward(engine)
+    saturated = bool((valid.sum(axis=1) >= tcfg.det_max_candidates).any())
+    if saturated:
+        from ocrjax.utils.logging import get_logger, log_fields
+        log_fields(get_logger("ocrjax.tiling"), "warning",
+                   "tile candidate cap reached — page likely truncated",
+                   cap=tcfg.det_max_candidates, tiles=len(corners))
+
+    quads, ss, tids = [], [], []
     for t, (y, x) in enumerate(corners):
         for i in np.where(valid[t])[0]:
             q = boxes[t, i] + np.array([x, y], np.float32)
@@ -189,10 +259,29 @@ def _run_tiles(engine, img: np.ndarray):
             q[:, 1] = np.clip(q[:, 1], 0, h - 1)
             quads.append(q)
             ss.append(float(scores[t, i]))
+            tids.append(t)
 
-    x_bands, _ = _seam_bands(corners, T)
-    merged = _merge_seam_boxes(quads, ss, cfg.tile_merge_iou, x_bands)
-    return corners, dev_tiles, boxes, scores, valid, merged
+    x_bands, _ = _seam_bands(corners, cfg.tile_size)
+    merged = _merge_seam_boxes(quads, ss, cfg.tile_merge_iou, x_bands,
+                               tile_ids=tids)
+    return merged, saturated
+
+
+def _run_tiles(engine, img: np.ndarray):
+    """Tile a page and run chunked DB detection over the tiles.
+
+    Returns (corners, dev_tiles, merged, saturated) where dev_tiles is the
+    list of uploaded (packed) device tile chunks — kept so recognition
+    reuses the SAME upload — and merged is the seam-merged (quads, scores)
+    in the original image frame.
+    """
+    h, w = img.shape[:2]
+    corners, tiles = _prep_page(engine, img)
+    dev_tiles, boxes, scores, valid = _fetch_page(
+        engine, _dispatch_page(engine, tiles))
+    merged, saturated = _merge_page(engine, corners, boxes, scores, valid,
+                                    h, w)
+    return corners, dev_tiles, merged, saturated
 
 
 def detect_tiled(engine, image) -> List["DetBox"]:
@@ -203,65 +292,32 @@ def detect_tiled(engine, image) -> List["DetBox"]:
     """
     from ocrjax.api import DetBox
 
-    img = preprocess.load_image(image)
-    _, _, _, _, _, (quads, ss) = _run_tiles(engine, img)
+    img = preprocess.load_image(
+        image, auto_invert=engine.config.auto_invert)
+    _, _, (quads, ss), _ = _run_tiles(engine, img)
     order = geometry.sort_reading_order(quads)
     return [DetBox(quads[i], ss[i]) for i in order]
 
 
-def ocr_tiled(engine, image, beam: bool = False,
-              _allow_rot90: bool = True) -> "OcrResult":
-    """C5 end-to-end: tiled detection + pooled ink-refined recognition
-    (BASELINE.json:11 "hundreds of lines/page").
-
-    Recognition reuses the detection upload: each merged quad is assigned
-    to a tile that fully contains its expanded crop and recognized through
-    the same pooled refined-warp machinery as C4 (bucketing.recognize_
-    pooled) with tile rows as pages — full-resolution crops, two-pass ink
-    refinement, zero extra link bytes. Quads no tile fully contains (lines
-    longer than tile_size - 2*overlap) fall back to host full-res crops.
-    """
-    from ocrjax import bucketing
-    from ocrjax.api import DetBox, OcrLine, OcrResult
-    from ocrjax.api_det import _gray_norm_jit, _ink_crop_host
-
-    cfg = engine.config
-    img = preprocess.load_image(image)
-    h, w = img.shape[:2]
+def _assign_quads_to_tiles(cfg, corners, quads, h, w):
+    """Assign each merged quad to a tile that fully contains its expanded
+    crop. Returns (tile_ids, tile_quads, tile_bounds, pooled_idx, host_idx):
+    quads no tile fully contains (lines longer than tile_size − 2·overlap)
+    go to host_idx for full-res host crops."""
     T = cfg.tile_size
-    corners, dev_tiles, _, _, _, (quads, ss) = _run_tiles(engine, img)
-    if not quads:
-        return OcrResult(lines=[])
-
-    # Landscape-scan reroute (mirrors api_det.ocr): redo the whole document
-    # rotated 90° ccw; the line cls resolves the leftover 180° ambiguity.
-    if (_allow_rot90 and cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
-            and float(np.median(geometry.quad_tilt_deg(
-                np.asarray(quads)))) > cfg.rot90_tilt_deg):
-        res = ocr_tiled(engine, np.ascontiguousarray(np.rot90(img)),
-                        beam=beam, _allow_rot90=False)
-        return OcrResult(lines=[
-            OcrLine(box=DetBox(geometry.rot90_ccw_to_orig(l.box.quad, w),
-                               l.box.score),
-                    text=l.text, confidence=l.confidence)
-            for l in res.lines
-        ], truncated=res.truncated)
-
-    # ---- assign each merged quad to a containing tile ----------------------
-    tile_ids, tile_quads, tile_bounds, pooled_idx, host_idx = [], [], [], [], []
+    tile_ids, tile_quads, tile_bounds = [], [], []
+    pooled_idx, host_idx = [], []
     for qi, q in enumerate(quads):
         qh = q[:, 1].max() - q[:, 1].min() + 1.0
         m = cfg.rec_crop_margin * qh + 2.0 if cfg.rec_snap_to_ink else 2.0
         x0, x1 = q[:, 0].min() - m, q[:, 0].max() + m
         y0, y1 = q[:, 1].min() - m, q[:, 1].max() + m
+        # containment within the PAGE-valid part of the tile (or the page
+        # border itself — expansion clamps there anyway)
+        cx0, cy0 = max(x0, 0.0), max(y0, 0.0)
+        cx1, cy1 = min(x1, w - 1.0), min(y1, h - 1.0)
         best = None
         for t, (ty, tx) in enumerate(corners):
-            # containment within the PAGE-valid part of the tile (or the
-            # page border itself — expansion clamps there anyway)
-            cx0 = max(x0, 0.0)
-            cy0 = max(y0, 0.0)
-            cx1 = min(x1, w - 1.0)
-            cy1 = min(y1, h - 1.0)
             if cx0 >= tx and cy0 >= ty and cx1 < tx + T and cy1 < ty + T:
                 # prefer the tile whose center is closest to the quad's
                 c = abs(tx + T / 2 - (x0 + x1) / 2) \
@@ -277,60 +333,205 @@ def ocr_tiled(engine, image, beam: bool = False,
         tile_ids.append(t)
         tile_quads.append(q - np.array([tx, ty], np.float32))
         tile_bounds.append([min(T, w - tx) - 1.0, min(T, h - ty) - 1.0])
+    return tile_ids, tile_quads, tile_bounds, pooled_idx, host_idx
 
-    texts = [None] * len(quads)
-    confs = [0.0] * len(quads)
-    flipped = [False] * len(quads)
 
-    if pooled_idx:
-        normed = [_gray_norm_jit(d, cfg.upload_bits,
-                                 cfg.rec_mean, cfg.rec_std)
-                  for d in dev_tiles]
-        gray_dev = (jnp.concatenate(normed, axis=0) if len(normed) > 1
-                    else normed[0])
-        ptexts, pconfs, pflips = bucketing.recognize_pooled(
-            engine, gray_dev,
-            np.asarray(tile_ids, np.int32),
-            np.asarray(tile_quads, np.float32),
-            np.asarray(tile_bounds, np.float32)[:, None, :],
-            beam=beam, timer=getattr(engine, "stage_timer", None),
-            # all tiles belong to ONE document: one orientation-prior group
-            prior_ids=np.zeros(len(tile_ids), np.int32))
-        for k, qi in enumerate(pooled_idx):
-            texts[qi] = ptexts[k]
-            confs[qi] = pconfs[k]
-            flipped[qi] = pflips[k]
+def _host_fallback_strips(engine, img, quads, host_idx):
+    """Full-res host crops (ink-canonicalized) for quads no tile contains."""
+    from ocrjax.api_det import _ink_crop_host
 
-    if host_idx:
-        # host full-res crops with the same ink-crop canonicalization
-        gray = preprocess.to_gray(img)
-        strips = []
-        for qi in host_idx:
-            q = quads[qi]
-            margin = cfg.rec_crop_margin * (
-                q[:, 1].max() - q[:, 1].min() + 1) \
-                if cfg.rec_snap_to_ink else 0.0
-            x0 = int(max(0, np.floor(q[:, 0].min() - margin)))
-            x1 = int(min(w, np.ceil(q[:, 0].max() + margin) + 1))
-            y0 = int(max(0, np.floor(q[:, 1].min() - margin)))
-            y1 = int(min(h, np.ceil(q[:, 1].max() + margin) + 1))
-            strips.append(_ink_crop_host(
-                gray, x0, y0, x1, y1,
-                margin_left_px=max(0.0, q[:, 0].min() - x0),
-                margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
-                x_margin_keep=cfg.rec_ink_x_margin_keep)
-                if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
-        rs = engine.recognize_strips(strips, beam=beam, same_page=True)
-        for k, qi in enumerate(host_idx):
-            texts[qi] = rs[k].text
-            confs[qi] = rs[k].confidence
-            flipped[qi] = rs[k].flipped
+    cfg = engine.config
+    h, w = img.shape[:2]
+    gray = preprocess.to_gray(img)
+    strips = []
+    for qi in host_idx:
+        q = quads[qi]
+        margin = cfg.rec_crop_margin * (
+            q[:, 1].max() - q[:, 1].min() + 1) \
+            if cfg.rec_snap_to_ink else 0.0
+        x0 = int(max(0, np.floor(q[:, 0].min() - margin)))
+        x1 = int(min(w, np.ceil(q[:, 0].max() + margin) + 1))
+        y0 = int(max(0, np.floor(q[:, 1].min() - margin)))
+        y1 = int(min(h, np.ceil(q[:, 1].max() + margin) + 1))
+        strips.append(_ink_crop_host(
+            gray, x0, y0, x1, y1,
+            margin_left_px=max(0.0, q[:, 0].min() - x0),
+            margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
+            x_margin_keep=cfg.rec_ink_x_margin_keep)
+            if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
+    return strips
 
-    if sum(flipped) * 2 > len(quads):  # upside-down document
-        order = geometry.sort_reading_order([-q for q in quads])
-    else:
-        order = geometry.sort_reading_order(quads)
-    return OcrResult(lines=[
-        OcrLine(box=DetBox(quads[i], ss[i]), text=texts[i],
-                confidence=confs[i])
-        for i in order])
+
+# Pooled-recognition window bound: tiles held live (packed upload + one
+# normalized float copy each) across the pages of one window. 16 tiles of
+# 2048² float32 ≈ 256 MB — comfortable HBM headroom on a v5e while still
+# pooling several pages' recognition into shared width buckets.
+_MAX_POOL_TILES = 16
+
+
+def ocr_tiled_batch(engine, images, beam: bool = False,
+                    _allow_rot90: bool = True) -> List["OcrResult"]:
+    """Multi-page C5 driver: pooled tiled OCR with per-page isolation.
+
+    Pages stream through in windows bounded by _MAX_POOL_TILES: within a
+    window every page's tile detection is dispatched before any result is
+    read (upload of page k+1 rides the link while page k computes), and
+    recognition pools ALL the window's line crops across pages into shared
+    width buckets — the same cross-page pooling bucketing.ocr_pages does
+    for C4, so an N-page document no longer pays N serial per-page
+    pipelines (VERDICT r2 weak #5). A failed page decode yields an empty
+    result without failing the batch (SURVEY.md §5).
+    """
+    from ocrjax import bucketing
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+    from ocrjax.api_det import _gray_norm_jit
+
+    cfg = engine.config
+    B = len(images)
+    results: List = [None] * B
+
+    # ---- windowing by tile budget (decode + plan is cheap host work) ------
+    pages = []   # (i, img, corners, tiles)
+    for i, image in enumerate(images):
+        try:
+            img = preprocess.load_image(
+                image, auto_invert=cfg.auto_invert)
+            corners, tiles = _prep_page(engine, img)
+        except (FileNotFoundError, ValueError, OSError):
+            results[i] = OcrResult(lines=[])
+            continue
+        pages.append((i, img, corners, tiles))
+
+    rot90_pages = []  # (i, img)
+    wi = 0
+    while wi < len(pages):
+        window = []
+        budget = 0
+        while wi < len(pages):
+            n_tiles = len(pages[wi][3])
+            if window and budget + n_tiles > _MAX_POOL_TILES:
+                break
+            window.append(pages[wi])
+            budget += n_tiles
+            wi += 1
+
+        # -- phase 1: dispatch every page's detection ahead ----------------
+        disp = [(_dispatch_page(engine, tiles)) for (_, _, _, tiles)
+                in window]
+        # -- phase 2: fetch + seam merge per page ---------------------------
+        win = []   # per-page dicts for the recognition pool
+        for (i, img, corners, _), d in zip(window, disp):
+            h, w = img.shape[:2]
+            dev_tiles, boxes, scores, valid = _fetch_page(engine, d)
+            (quads, ss), saturated = _merge_page(
+                engine, corners, boxes, scores, valid, h, w)
+            if not quads:
+                results[i] = OcrResult(lines=[], truncated=saturated)
+                continue
+            # landscape-scan reroute (mirrors api_det.ocr): redo the whole
+            # document rotated 90° ccw at the end, batched with its peers;
+            # the line cls resolves the leftover 180° ambiguity.
+            if (_allow_rot90 and cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
+                    and float(np.median(geometry.quad_tilt_deg(
+                        np.asarray(quads)))) > cfg.rot90_tilt_deg):
+                rot90_pages.append((i, img))
+                continue
+            win.append(dict(i=i, img=img, corners=corners,
+                            dev_tiles=dev_tiles, quads=quads, ss=ss,
+                            saturated=saturated))
+
+        if not win:
+            continue
+
+        # -- phase 3: one pooled recognition across the window --------------
+        g_tids, g_tquads, g_tbounds, g_prior = [], [], [], []
+        pooled_refs = []   # (page dict, qi) aligned with the pooled rows
+        normed = []
+        row_off = 0
+        for p in win:
+            h, w = p["img"].shape[:2]
+            tids, tquads, tbounds, pooled_idx, host_idx = \
+                _assign_quads_to_tiles(cfg, p["corners"], p["quads"], h, w)
+            p["host_idx"] = host_idx
+            p["texts"] = [None] * len(p["quads"])
+            p["confs"] = [0.0] * len(p["quads"])
+            p["flipped"] = [False] * len(p["quads"])
+            for k, qi in enumerate(pooled_idx):
+                g_tids.append(row_off + tids[k])
+                g_tquads.append(tquads[k])
+                g_tbounds.append(tbounds[k])
+                g_prior.append(p["i"])
+                pooled_refs.append((p, qi))
+            for d in p["dev_tiles"]:
+                normed.append(_gray_norm_jit(
+                    d, cfg.upload_bits, cfg.rec_mean, cfg.rec_std))
+                row_off += int(normed[-1].shape[0])
+
+        if pooled_refs:
+            gray_dev = (jnp.concatenate(normed, axis=0) if len(normed) > 1
+                        else normed[0])
+            ptexts, pconfs, pflips = bucketing.recognize_pooled(
+                engine, gray_dev,
+                np.asarray(g_tids, np.int32),
+                np.asarray(g_tquads, np.float32),
+                np.asarray(g_tbounds, np.float32)[:, None, :],
+                beam=beam, timer=getattr(engine, "stage_timer", None),
+                # tiles of one document share one orientation-prior group
+                prior_ids=np.asarray(g_prior, np.int32))
+            for k, (p, qi) in enumerate(pooled_refs):
+                p["texts"][qi] = ptexts[k]
+                p["confs"][qi] = pconfs[k]
+                p["flipped"][qi] = pflips[k]
+
+        # -- phase 4: host-fallback crops + per-page assembly ----------------
+        for p in win:
+            if p["host_idx"]:
+                strips = _host_fallback_strips(
+                    engine, p["img"], p["quads"], p["host_idx"])
+                rs = engine.recognize_strips(strips, beam=beam,
+                                             same_page=True)
+                for k, qi in enumerate(p["host_idx"]):
+                    p["texts"][qi] = rs[k].text
+                    p["confs"][qi] = rs[k].confidence
+                    p["flipped"][qi] = rs[k].flipped
+            quads, ss = p["quads"], p["ss"]
+            if sum(p["flipped"]) * 2 > len(quads):  # upside-down document
+                order = geometry.sort_reading_order([-q for q in quads])
+            else:
+                order = geometry.sort_reading_order(quads)
+            results[p["i"]] = OcrResult(lines=[
+                OcrLine(box=DetBox(quads[k], ss[k]), text=p["texts"][k],
+                        confidence=p["confs"][k])
+                for k in order], truncated=p["saturated"])
+
+    # ---- rot90 redo: ONE recursive batched call for all landscape pages ---
+    if rot90_pages:
+        rres = ocr_tiled_batch(
+            engine, [np.ascontiguousarray(np.rot90(img))
+                     for (_, img) in rot90_pages],
+            beam=beam, _allow_rot90=False)
+        for (i, img), rr in zip(rot90_pages, rres):
+            w = img.shape[1]
+            results[i] = OcrResult(lines=[
+                OcrLine(box=DetBox(
+                    geometry.rot90_ccw_to_orig(l.box.quad, w), l.box.score),
+                    text=l.text, confidence=l.confidence)
+                for l in rr.lines], truncated=rr.truncated)
+    return results
+
+
+def ocr_tiled(engine, image, beam: bool = False,
+              _allow_rot90: bool = True) -> "OcrResult":
+    """C5 end-to-end: tiled detection + pooled ink-refined recognition
+    (BASELINE.json:11 "hundreds of lines/page").
+
+    Recognition reuses the detection upload: each merged quad is assigned
+    to a tile that fully contains its expanded crop and recognized through
+    the same pooled refined-warp machinery as C4 (bucketing.recognize_
+    pooled) with tile rows as pages — full-resolution crops, two-pass ink
+    refinement, zero extra link bytes. Quads no tile fully contains (lines
+    longer than tile_size - 2*overlap) fall back to host full-res crops.
+    The single-page case of ocr_tiled_batch.
+    """
+    return ocr_tiled_batch(engine, [image], beam=beam,
+                           _allow_rot90=_allow_rot90)[0]

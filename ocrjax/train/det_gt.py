@@ -95,10 +95,18 @@ def db_gt_maps(quads: List[np.ndarray], shape: Tuple[int, int]
 
 def make_det_batch(rng: np.random.RandomState, charset, batch_size: int,
                    size: int, n_lines=(3, 8),
-                   p_word: float = 0.0) -> Tuple[np.ndarray, ...]:
+                   p_word: float = 0.0, degrade: float = 0.0,
+                   p_dense: float = 0.0) -> Tuple[np.ndarray, ...]:
     """Rendered pages + GT maps: (images u8 (B,S,S,3), gt_shrink, gt_thresh,
     thresh_mask) — images are RGB broadcast of the gray page. p_word: see
-    synth.word_text (kernel continuity across '_'-joined x-height words)."""
+    synth.word_text (kernel continuity across '_'-joined x-height words).
+    degrade: probability of pushing the PAGE through synth.degrade_image at
+    a random level (blur/noise/JPEG/contrast/illumination) AFTER the GT
+    maps are computed — degradation never moves geometry, so the targets
+    stay exact (the ICDAR-scan robustness proxy: the clean-trained detector
+    measured recall 0.54 at level 0.25, VERDICT r2 missing #2/#3).
+    p_dense: probability of a DENSE page (synth.render_page_dense scaled to
+    `size` — the C5 hundreds-of-lines layout) instead of the sparse one."""
     from ocrjax.train import synth
 
     imgs = np.zeros((batch_size, size, size, 3), np.uint8)
@@ -106,9 +114,19 @@ def make_det_batch(rng: np.random.RandomState, charset, batch_size: int,
     g_thresh = np.zeros((batch_size, size, size), np.float32)
     g_mask = np.zeros((batch_size, size, size), np.float32)
     for b in range(batch_size):
-        page, quads, _ = synth.render_page(
-            rng, charset, size=(size, size), n_lines=n_lines,
-            p_word=p_word)
+        if p_dense > 0 and rng.rand() < p_dense:
+            # line/page count scaled so density matches the 2048px C5 page
+            page, quads, _ = synth.render_page_dense(
+                rng, charset, size=(size, size),
+                n_lines=max(8, int(200 * (size / 2048.0) ** 2)),
+                text_height=(14, 24), max_len=8, p_word=p_word)
+        else:
+            page, quads, _ = synth.render_page(
+                rng, charset, size=(size, size), n_lines=n_lines,
+                p_word=p_word)
+        if degrade > 0 and rng.rand() < degrade:
+            page = synth.degrade_image(page, rng,
+                                       level=rng.uniform(0.25, 1.0))
         imgs[b] = page[..., None]
         s, t, m = db_gt_maps(quads, (size, size))
         g_shrink[b], g_thresh[b], g_mask[b] = s, t, m

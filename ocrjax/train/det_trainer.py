@@ -166,11 +166,14 @@ def train_det(
     ckpt_every: int = 500,
     p_word: float = 0.0,
     init_variables=None,
+    degrade: float = 0.0,
+    p_dense: float = 0.0,
 ) -> DetTrainResult:
     """Train on `size`-px synthetic pages (conv translation invariance makes
     the weights valid at the full det_max_side canvas). p_word mixes
     word-like lines into the pages (synth.word_text); init_variables
-    warm-starts from existing weights (fine-tuning)."""
+    warm-starts from existing weights (fine-tuning). degrade/p_dense: scan
+    degradation + dense-page mixing (det_gt.make_det_batch)."""
     config = config or OcrConfig()
     charset = charset or default_charset()
     model = create_db(config)
@@ -200,7 +203,8 @@ def train_det(
     t0 = time.time()
     for step in range(start_step + 1, steps + 1):
         imgs, gts, gtt, gtm = det_gt.make_det_batch(
-            rng, charset, batch_size, size, p_word=p_word)
+            rng, charset, batch_size, size, p_word=p_word,
+            degrade=degrade, p_dense=p_dense)
         params, batch_stats, opt_state, loss, parts = step_fn(
             params, batch_stats, opt_state,
             jnp.asarray(imgs), jnp.asarray(gts), jnp.asarray(gtt),

@@ -343,6 +343,60 @@ def degrade_image(img: np.ndarray, rng: np.random.RandomState,
 # Pages (detection ground truth)
 # ---------------------------------------------------------------------------
 
+def render_page_dense(
+    rng: np.random.RandomState,
+    charset: Charset,
+    size: Tuple[int, int] = (2048, 2048),
+    n_lines: int = 200,
+    text_height: Tuple[int, int] = (18, 30),
+    max_len: int = 10,
+    noise: float = 0.01,
+    p_word: float = 0.0,
+    fonts: Optional[Sequence[str]] = None,
+) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
+    """A DENSE page: ~n_lines short text lines in a row/column layout.
+
+    BASELINE.json:11's C5 scenario is "hundreds of lines/page" at 2048px;
+    `render_page`'s rejection sampling can't place that many (it stops
+    trying after 20 collisions per line), so this fills text rows top to
+    bottom, several lines per row with random gaps — the layout of a dense
+    table/index page. Returns (page uint8 (H, W), quads, texts) exactly
+    like render_page; placement stops at n_lines or when the page is full,
+    whichever first (the returned list's length is the ground truth).
+    """
+    H, W = size
+    page = np.full((H, W), 255, np.uint8)
+    quads, texts = [], []
+    fs = FONTS if fonts is None else list(fonts)
+    y = int(rng.randint(4, 16))
+    while len(texts) < n_lines:
+        th = int(rng.randint(text_height[0], text_height[1] + 1))
+        row_h = th + int(rng.randint(6, 14))
+        if y + row_h >= H - 4:
+            break
+        x = int(rng.randint(4, 24))
+        while len(texts) < n_lines:
+            if p_word > 0 and rng.rand() < p_word:
+                text = word_text(rng, charset, 2, max_len)
+            else:
+                text = random_text(rng, charset, 2, max_len)
+            strip = render_line(text, th, fs[rng.randint(len(fs))],
+                                rng, noise, pad=2)
+            sh, sw = strip.shape
+            if x + sw >= W - 4:
+                break
+            page[y:y + sh, x:x + sw] = np.minimum(
+                page[y:y + sh, x:x + sw], strip)
+            quads.append(np.array(
+                [[x, y], [x + sw, y], [x + sw, y + sh], [x, y + sh]],
+                np.float32))
+            texts.append(text)
+            # inter-line gap within the row: wide enough that neighboring
+            # components stay separable after DB's kernel shrink
+            x += sw + int(rng.randint(max(12, th // 2), max(20, th)))
+        y += row_h
+    return page, quads, texts
+
 def render_page(
     rng: np.random.RandomState,
     charset: Charset,

@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--head-stride", type=int, default=1, choices=(1, 2, 4),
                     help="det head output stride (4 = detect on the FPN's "
                          "native S/4 grid; ~30%% faster det forward)")
+    ap.add_argument("--degrade", type=float, default=0.0,
+                    help="probability of scan-degradation augmentation per "
+                         "training page (synth.degrade_image — GT maps stay "
+                         "exact; the clean-trained detector collapses to "
+                         "0.54 recall on degraded pages)")
+    ap.add_argument("--p-dense", type=float, default=0.0,
+                    help="probability of a DENSE page layout per training "
+                         "page (synth.render_page_dense — the C5 hundreds-"
+                         "of-lines distribution)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +70,7 @@ def main():
         log=lambda m: print(m, flush=True),
         p_word=args.p_word, init_variables=init_variables,
         ckpt_dir=args.ckpt_dir,
+        degrade=args.degrade, p_dense=args.p_dense,
     )
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
