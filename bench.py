@@ -139,6 +139,10 @@ def main():
         "bucketed_windows": report["pages_per_sec_bucketed_windows"],
         "p50_page_latency_ms": round(report["p50_page_latency_ms"], 1),
         "crops_per_sec": round(report["crops_per_sec"], 0),
+        "dense_pages_per_sec": round(report.get("dense_pages_per_sec", 0.0),
+                                     2),
+        "dense_lines_per_sec": round(report.get("dense_lines_per_sec", 0.0),
+                                     0),
     }))
 
 

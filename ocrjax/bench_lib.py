@@ -178,6 +178,31 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
             window("fused" if flip % 2 == 0 else "bucketed"))
         flip += 1
 
+    # ---- C5 dense-page throughput (BASELINE.json:11 "hundreds of lines/
+    # page"): spec-density pages through the pipelined tiled batch. Detail
+    # metric only — the headline stays the standard-page median. ----------
+    dense_imgs, dense_line_counts = [], []
+    for s in range(3):
+        drng = np.random.RandomState(1000 + s)
+        page, _, dtexts = synth.render_page_dense(
+            drng, charset, size=(3072, 2048), n_lines=200)
+        dense_imgs.append(np.repeat(page[..., None], 3, axis=2))
+        dense_line_counts.append(len(dtexts))
+    engine.ocr_tiled(dense_imgs[0])          # warm the tile programs
+    t0 = time.perf_counter()
+    dense_res = engine.ocr_tiled_batch(dense_imgs)
+    dense_dt = time.perf_counter() - t0
+    report["dense_pages_per_sec"] = len(dense_imgs) / dense_dt
+    report["dense_lines_per_sec"] = sum(
+        len(r.lines) for r in dense_res) / dense_dt
+    report["dense_gt_lines_per_page"] = round(
+        float(np.mean(dense_line_counts)), 1)
+    if progress is not None:
+        progress["partial"]["dense_pages_per_sec"] = round(
+            report["dense_pages_per_sec"], 2)
+        progress["partial"]["dense_lines_per_sec"] = round(
+            report["dense_lines_per_sec"], 0)
+
     all_windows = windows["fused"] + windows["bucketed"]
     report["pages_per_sec_fused"] = max(windows["fused"])
     report["pages_per_sec_bucketed"] = max(windows["bucketed"])
