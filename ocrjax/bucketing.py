@@ -79,6 +79,18 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
 
     cfg = engine.config
     T = timer if timer is not None else _NullStage()
+    # Canonicalize the pooled page-axis to a power-of-two row count: P is
+    # otherwise a FREE shape dimension — every window composition (3 pages,
+    # 5 tiles, ...) yields a new P, and each (P, width-bucket, count-bucket)
+    # triple is a separate XLA program. Measured on TPU: a 4-page tiled
+    # window paid full compiles mid-batch and ran 5.7x slower than serial.
+    # Zero-padded rows are never referenced (page_ids only index real rows).
+    P = int(gray_dev.shape[0])
+    Pb = 1 << max(P - 1, 0).bit_length()
+    if Pb != P:
+        gray_dev = jnp.concatenate(
+            [gray_dev,
+             jnp.zeros((Pb - P,) + gray_dev.shape[1:], gray_dev.dtype)])
     warp_src = quads
     # Width estimate from the TIGHT det quads, with refinement headroom: the
     # ink refinement rescales the ink band to full strip height, so final

@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--beam", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--weights", default=None,
+                    help="candidate rec safetensors (default: shipped)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -63,6 +65,10 @@ def main():
     from ocrjax.train.e2e_eval import _levenshtein
 
     eng = OcrEngine.from_pretrained()
+    if args.weights:
+        from ocrjax import weights as W
+        eng.rec_variables = W.load_variables(args.weights)
+        print("candidate rec weights:", args.weights, flush=True)
     per_font = {}
     subs_hist = collections.Counter()
     miss_examples = []

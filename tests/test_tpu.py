@@ -220,8 +220,13 @@ def test_c5_tiled_batch_pipelined_on_tpu():
         imgs.append(np.repeat(page[..., None], 3, axis=2))
         all_texts.append(texts)
 
-    # warm both programs
+    # Warm BOTH program sets: the pooled window runs (P=4, count=64)-shaped
+    # programs the single-page path never compiles, and XLA compiles are
+    # one-time per process (persisted in the conftest compilation cache) —
+    # the gate below is about steady-state serving throughput, not compile
+    # latency.
     eng.ocr_tiled(imgs[0])
+    eng.ocr_tiled_batch(imgs)
 
     t0 = time.time()
     serial = [eng.ocr_tiled(im) for im in imgs]
