@@ -14,14 +14,19 @@ import numpy as np
 def evaluate_e2e(engine, n_pages: int = 8, size: int = 640,
                  seed: int = 123, beam: bool = False,
                  max_rotation: float = 0.0,
-                 degrade_level: float = 0.0) -> Dict[str, float]:
+                 degrade_level: float = 0.0,
+                 supersample: int = 1) -> Dict[str, float]:
     """→ dict(line_exact_match, det_recall, char_error_rate).
 
     max_rotation rotates each rendered line by a uniform angle in ±deg
     (the rotated-page eval tier). degrade_level > 0 pushes the WHOLE page
     through synth.degrade_image at that level before OCR (the scan/photo
     degradation tier — the offline proxy for the ICDAR robustness bar,
-    VERDICT r2 missing #2)."""
+    VERDICT r2 missing #2). supersample > 1 renders through the HELD-OUT
+    rasterization path (synth.render_line supersample — different hinting/
+    anti-aliasing statistics than anything the models trained on; measures
+    how much train/eval renderer correlation inflates quality, VERDICT r2
+    weak #6)."""
     from ocrjax.train.synth import degrade_image, render_page
 
     rng = np.random.RandomState(seed)
@@ -30,7 +35,7 @@ def evaluate_e2e(engine, n_pages: int = 8, size: int = 640,
     for _ in range(n_pages):
         page, quads, texts = render_page(
             rng, engine.charset, size=(size, size),
-            max_rotation=max_rotation)
+            max_rotation=max_rotation, supersample=supersample)
         if degrade_level > 0:
             page = degrade_image(page, rng, level=degrade_level)
         img = np.repeat(page[..., None], 3, axis=2)

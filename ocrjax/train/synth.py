@@ -43,16 +43,29 @@ def render_line(
     rng: Optional[np.random.RandomState] = None,
     noise: float = 0.0,
     pad: int = 4,
+    supersample: int = 1,
 ) -> np.ndarray:
-    """Render text as a dark-on-light grayscale strip of the given height."""
-    font = _font(font_path, int(height * 0.72))
+    """Render text as a dark-on-light grayscale strip of the given height.
+
+    supersample > 1 is the HELD-OUT rasterization path (eval only, never
+    training): glyphs render at N× size and downsample through Lanczos,
+    giving different hinting, anti-aliasing and stroke-weight statistics
+    than freetype's native rasterization at target size. Every quality
+    number otherwise derives from the same renderer family the models
+    trained on, so train/eval correlation inflates them by an unknown
+    amount — this is the cheapest offline proxy for a second renderer."""
+    ss = max(int(supersample), 1)
+    h = height * ss
+    font = _font(font_path, int(h * 0.72))
     dummy = Image.new("L", (8, 8))
     bbox = ImageDraw.Draw(dummy).textbbox((0, 0), text, font=font)
-    w = max(bbox[2] - bbox[0], 1) + 2 * pad
-    img = Image.new("L", (w, height), 255)
+    w = max(bbox[2] - bbox[0], 1) + 2 * pad * ss
+    img = Image.new("L", (w, h), 255)
     draw = ImageDraw.Draw(img)
-    y = (height - (bbox[3] - bbox[1])) // 2 - bbox[1]
-    draw.text((pad - bbox[0], y), text, font=font, fill=0)
+    y = (h - (bbox[3] - bbox[1])) // 2 - bbox[1]
+    draw.text((pad * ss - bbox[0], y), text, font=font, fill=0)
+    if ss > 1:
+        img = img.resize((max(w // ss, 1), height), Image.LANCZOS)
     arr = np.asarray(img, np.uint8)
     if noise > 0 and rng is not None:
         g = rng.randn(*arr.shape) * noise * 255
@@ -408,13 +421,15 @@ def render_page(
     max_rotation: float = 0.0,
     p_word: float = 0.0,
     fonts: Optional[Sequence[str]] = None,
+    supersample: int = 1,
 ) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
     """A page image with non-overlapping text lines at random positions.
 
     Returns (page uint8 (H, W), quads [(4,2) float32 clockwise from TL],
     texts). Quads are the tight ink bounding boxes. max_rotation > 0 rotates
     each line by a uniform angle in ±max_rotation degrees (quads follow —
-    rotated rects, TL = the rendered strip's top-left corner).
+    rotated rects, TL = the rendered strip's top-left corner). supersample:
+    see render_line — the held-out rasterization path, eval only.
     """
     import cv2
 
@@ -432,7 +447,7 @@ def render_page(
                 text = random_text(rng, charset, 2, max_len)
             fs = FONTS if fonts is None else list(fonts)
             strip = render_line(text, th, fs[rng.randint(len(fs))],
-                                rng, noise, pad=2)
+                                rng, noise, pad=2, supersample=supersample)
             sh, sw = strip.shape
             corners = np.array([[0, 0], [sw, 0], [sw, sh], [0, sh]],
                                np.float32)

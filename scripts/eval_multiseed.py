@@ -78,6 +78,12 @@ def main():
     out["rotated"] = _tier(
         eng, range(9, 9 + args.rotated_seeds), n_pages=4, max_rotation=10.0)
     print("rotated:", json.dumps(out["rotated"]), flush=True)
+    # held-out rasterizer (weak #6): same pages, Lanczos-downsampled 3x
+    # supersampled glyphs — a rendering distribution no model trained on
+    out["heldout_renderer"] = _tier(
+        eng, range(123, 123 + args.straight_seeds), n_pages=8, supersample=3)
+    print("heldout_renderer:", json.dumps(out["heldout_renderer"]),
+          flush=True)
     if args.degrade:
         for lv in (0.25, 0.5, 0.75, 1.0):
             out[f"degraded_{lv}"] = _tier(
