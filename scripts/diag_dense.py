@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--size", default="3072x2048")
     ap.add_argument("--n-lines", type=int, default=200)
+    ap.add_argument("--det-weights", default=None,
+                    help="candidate det safetensors (default: shipped)")
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -33,6 +35,10 @@ def main():
     from ocrjax.train import synth
 
     eng = OcrEngine.from_pretrained()
+    if args.det_weights:
+        from ocrjax import weights as W
+        eng.det_variables = W.load_variables(args.det_weights)
+        print("candidate det weights:", args.det_weights, flush=True)
     rng = np.random.RandomState(args.seed)
     H, W = (int(v) for v in args.size.split("x"))
     page, quads, texts = synth.render_page_dense(

@@ -164,6 +164,21 @@ def test_inverted_page_e2e_on_tpu():
     assert exact / tot >= 0.90, (exact, tot)
 
 
+def test_degraded_page_gate_on_tpu():
+    """Moderate scan degradation gate (DESIGN.md §4d, VERDICT r2 missing
+    #2/#3): level-0.5 degradation (blur + noise + JPEG + contrast +
+    illumination texture) through the DEFAULT api. The r3 det fine-tune
+    took this tier from det_recall 0.45 to 1.0; measured line-exact
+    0.9616 over 4 seeds — gate leaves headroom for render noise."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.train.e2e_eval import evaluate_e2e
+
+    eng = OcrEngine.from_pretrained()
+    m = evaluate_e2e(eng, n_pages=4, seed=321, degrade_level=0.5)
+    assert m["det_recall"] >= 0.95, m
+    assert m["line_exact_match"] >= 0.88, m
+
+
 def test_c5_dense_page_on_tpu():
     """C5 at SPEC density (BASELINE.json:11 "hundreds of lines/page"):
     a 3072x2048 page carrying 200 short lines — two vertical tiles, so the
