@@ -87,6 +87,10 @@ def main():
                     help="probability of scan-degradation augmentation per "
                          "synthetic strip (blur/noise/JPEG/contrast/"
                          "illumination — synth.degrade_image)")
+    ap.add_argument("--degrade-anneal-frac", type=float, default=0.0,
+                    help="drop --degrade to 0 for the final fraction of "
+                         "steps (clean re-sharpening phase, mirrors "
+                         "--font-anneal-frac)")
     ap.add_argument("--det-rotation", type=float, default=0.0,
                     help="per-line rotation range of det-crop pages")
     ap.add_argument("--mix-det-crops", type=int, default=0, metavar="PAGES",
@@ -188,6 +192,7 @@ def main():
         font_weights=font_weights,
         font_anneal_frac=args.font_anneal_frac,
         degrade=args.degrade,
+        degrade_anneal_frac=args.degrade_anneal_frac,
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,
