@@ -188,7 +188,11 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
             drng, charset, size=(3072, 2048), n_lines=200)
         dense_imgs.append(np.repeat(page[..., None], 3, axis=2))
         dense_line_counts.append(len(dtexts))
-    engine.ocr_tiled(dense_imgs[0])          # warm the tile programs
+    # Warm the BATCH path's programs, not just the single-page ones: the
+    # pooled tiled batch compiles P-bucketed dispatch shapes ocr_tiled
+    # never touches, and a first-compile (~20-40 s) inside the timed
+    # region reads as ~0.06 pages/s (observed on the first r3 bench run).
+    engine.ocr_tiled_batch(dense_imgs)
     t0 = time.perf_counter()
     dense_res = engine.ocr_tiled_batch(dense_imgs)
     dense_dt = time.perf_counter() - t0

@@ -143,6 +143,18 @@ class OcrConfig:
                                      # barely differs from its homography
                                      # crop — the ink refinement re-derives
                                      # the extents either way.
+    fused_reroute_noise_px: float = 6.0  # prob-map extent wobble (px at
+                                     # canvas scale) assumed when judging a
+                                     # SINGLE box's tilt: a box of long side
+                                     # L only triggers the reroute alone if
+                                     # its tilt clears atan(noise_px/L) —
+                                     # measured on the bench mix: straight
+                                     # 54-94 px boxes read up to 4.05° of
+                                     # pure PCA noise while every >100 px
+                                     # box reads <=1.5°. Coherent page
+                                     # rotation is caught separately by the
+                                     # elongated-box median. 0 disables the
+                                     # floor (pure threshold).
     fused_color_reroute_frac: float = 0.005  # pages where more than this
                                      # fraction of pixels carry strong
                                      # chroma reroute to the staged path
@@ -150,6 +162,25 @@ class OcrConfig:
                                      # (colored ink stays dark there; 601
                                      # luma can wash it out entirely).
                                      # 0 disables.
+    pooled_sep_warp: bool = True     # pooled/bucketed recognition warps
+                                     # near-axis-aligned quads through the
+                                     # separable MXU warp (two matmuls per
+                                     # strip off a dynamic row tile —
+                                     # ops/warp.warp_quads_multi_separable)
+                                     # instead of the 41k-point gather warp
+                                     # (measured ~800 ms device time per
+                                     # 96-page window, 93% of the bucketed
+                                     # path's dominant stage). A quad stays
+                                     # on the exact homography warp when its
+                                     # tilt clears the same per-box
+                                     # noise-aware threshold the fused
+                                     # reroute uses, or when it is taller
+                                     # than pooled_sep_tile_h. False = all
+                                     # quads homography-warped (pre-r3
+                                     # behavior).
+    pooled_sep_tile_h: int = 128     # row-tile height of the separable
+                                     # pooled warp; quads whose expanded
+                                     # AABB is taller route to homography
     fused_chunk_pages: int = 16      # pages per fused-program call; large
                                      # batches are cut into chunks dispatched
                                      # ahead so upload/compute/download of

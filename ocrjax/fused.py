@@ -228,6 +228,18 @@ def should_reroute_rotation(vq: np.ndarray, cfg) -> bool:
     the unfolded median is checked too (geometry.quad_tilt_deg ∈ [0, 90]);
     the staged redo's own rot90 reroute (api_det.ocr) then rotates the
     page and the cls stage fixes any residual 180°.
+
+    A single box's tilt estimate carries noise that shrinks with box
+    length — a few pixels of prob-map extent wobble over long side L reads
+    as ~atan(noise_px/L) of spurious tilt. Measured on the rng-0 bench mix
+    (all-straight pages): every false trigger was a 54-94 px box at
+    3.0-4.05°, while no box over 100 px exceeded 1.5°; on TPU numerics 7 of
+    16 straight pages rerouted, costing ~40% of fused-window throughput.
+    So a LONE box must clear a per-box noise floor
+    max(reroute_deg, atan(noise_px/L)); genuine small PAGE rotation (which
+    a fixed floor would miss on short-lined pages) is instead caught by
+    coherence — the median tilt of all elongated boxes clearing
+    reroute_deg, which single-box noise cannot move.
     """
     e = vq[:, 1] - vq[:, 0]
     a = np.abs(np.degrees(np.arctan2(e[:, 1], e[:, 0]))) % 90.0
@@ -236,11 +248,18 @@ def should_reroute_rotation(vq: np.ndarray, cfg) -> bool:
     h_len = np.linalg.norm(vq[:, 3] - vq[:, 0], axis=1)
     aspect = (np.maximum(w_len, h_len)
               / np.maximum(np.minimum(w_len, h_len), 1.0))
-    tilt = np.where(aspect >= cfg.fused_reroute_min_aspect, tilt, 0.0)
+    elong = aspect >= cfg.fused_reroute_min_aspect
+    long_side = np.maximum(np.maximum(w_len, h_len), 1.0)
+    noise_floor = np.degrees(np.arctan2(cfg.fused_reroute_noise_px,
+                                        long_side))
+    single_thresh = np.maximum(cfg.fused_rotation_reroute_deg, noise_floor)
+    single = bool(np.any(elong & (tilt > single_thresh)))
+    coherent = bool(elong.any()) and (
+        float(np.median(tilt[elong])) > cfg.fused_rotation_reroute_deg)
     rot90 = (cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
              and float(np.median(geometry.quad_tilt_deg(vq)))
              > cfg.rot90_tilt_deg)
-    return rot90 or float(tilt.max()) > cfg.fused_rotation_reroute_deg
+    return rot90 or single or coherent
 
 
 class _FakeOom(RuntimeError):

@@ -34,11 +34,20 @@ if not os.environ.get("OCRJAX_TEST_TPU"):
 # device syncs, and the remote tunnel makes those ~100x more expensive).
 jax.config.update("jax_debug_nans", not bool(os.environ.get("OCRJAX_TEST_TPU")))
 
-# Persistent compilation cache: CRNN/DB graphs compile once per machine, not
-# once per pytest invocation (first run is slow; reruns are seconds).
-jax.config.update("jax_compilation_cache_dir", "/tmp/ocrjax_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compilation cache: TPU ONLY. On this host the XLA:CPU AOT
+# loader rejects its own just-written executables ("Target machine feature
+# +prefer-no-gather is not supported on the host machine ... could lead to
+# execution errors such as SIGILL", cpu_aot_loader.cc) and a full-suite run
+# deterministically SEGFAULTED (exit 139) inside
+# compilation_cache.get_executable_and_time → deserialize_executable at
+# test #251 (test_weights), with a FRESH cache and no concurrent writers —
+# so CPU executable reloads are genuinely unsafe here, not merely stale.
+# The TPU cache (repo-root .jax_cache + this one under OCRJAX_TEST_TPU)
+# has reloaded cleanly all round. Cost: the CPU suite recompiles per run.
+if os.environ.get("OCRJAX_TEST_TPU"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ocrjax_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_configure(config):

@@ -266,6 +266,7 @@ def test_rotation_reroute_aspect_gate():
 
     cfg = TINY.replace(fused_rotation_reroute_deg=3.0,
                        fused_reroute_min_aspect=1.7,
+                       fused_reroute_noise_px=6.0,
                        rec_try_flip=True, rot90_tilt_deg=60.0)
 
     straight = [_rect_quad(100, 40 + 60 * i, 180, 30) for i in range(3)]
@@ -283,3 +284,39 @@ def test_rotation_reroute_aspect_gate():
     # gate off (min_aspect 1.0) restores the old any-box behavior
     cfg_off = cfg.replace(fused_reroute_min_aspect=1.0)
     assert should_reroute_rotation(np.stack(straight + [sq_noise]), cfg_off)
+
+
+def test_rotation_reroute_noise_floor():
+    """A LONE short box must clear a length-scaled noise floor
+    max(reroute_deg, atan(noise_px/L)) — the measured false-trigger class
+    was 54-94 px boxes reading 3.0-4.05° of pure PCA extent noise on
+    straight pages (fused.py should_reroute_rotation docstring). Genuine
+    small PAGE rotation is still caught by the coherent-median trigger,
+    which single-box noise cannot move."""
+    from ocrjax.fused import should_reroute_rotation
+
+    cfg = TINY.replace(fused_rotation_reroute_deg=3.0,
+                       fused_reroute_min_aspect=1.7,
+                       fused_reroute_noise_px=6.0,
+                       rec_try_flip=False)
+
+    straight = [_rect_quad(100, 40 + 60 * i, 180, 30) for i in range(3)]
+    # short elongated box (L=80 → floor atan(6/80)=4.3°) at 3.8°: noise
+    short_noise = _rect_quad(300, 60, 80, 30, deg=3.8)
+    assert not should_reroute_rotation(
+        np.stack(straight + [short_noise]), cfg)
+
+    # the same short box at 8° clears its floor — real tilt reroutes
+    short_real = _rect_quad(300, 60, 80, 30, deg=8.0)
+    assert should_reroute_rotation(np.stack(straight + [short_real]), cfg)
+
+    # coherent small rotation: every short box below its INDIVIDUAL floor,
+    # but the elongated median (3.5°) clears reroute_deg → reroute
+    coherent = [_rect_quad(100, 40 + 60 * i, 80, 30, deg=3.5)
+                for i in range(5)]
+    assert should_reroute_rotation(np.stack(coherent), cfg)
+
+    # noise_px=0 disables the floor: 3.8° > 3.0° triggers alone again
+    cfg_nofloor = cfg.replace(fused_reroute_noise_px=0.0)
+    assert should_reroute_rotation(
+        np.stack(straight + [short_noise]), cfg_nofloor)

@@ -168,8 +168,9 @@ def test_degraded_page_gate_on_tpu():
     """Moderate scan degradation gate (DESIGN.md §4d, VERDICT r2 missing
     #2/#3): level-0.5 degradation (blur + noise + JPEG + contrast +
     illumination texture) through the DEFAULT api. The r3 det fine-tune
-    took this tier from det_recall 0.45 to 1.0; measured line-exact
-    0.9616 over 4 seeds — gate leaves headroom for render noise."""
+    took this tier from det_recall 0.45 to 1.0; the r3 rec soup measures
+    line-exact 0.9773 over 4 seeds (DESIGN.md §4e) — gate leaves headroom
+    for render noise."""
     from ocrjax.api import OcrEngine
     from ocrjax.train.e2e_eval import evaluate_e2e
 
@@ -257,8 +258,18 @@ def test_c5_tiled_batch_pipelined_on_tpu():
 
 
 def test_c5_tiled_e2e_on_tpu():
-    """C5 on hardware: 2048px page → tiled detect → pooled tile-based
+    """C5 on hardware: 2048px pages → tiled detect → pooled tile-based
     ink-refined recognition (engine.ocr_tiled — the API path).
+
+    Gate set from measurement (VERDICT r2 weak #2 asked why this sat at
+    0.85 vs 0.92 single-page): scripts/eval_tiled_quality.py over seeds
+    42-49 on TPU measures per-seed 0.81-1.00, mean 0.909 (4-seed mean
+    0.922). The gap vs the single-page 0.92 gate is the LINE population,
+    not the tiled path: these pages render max_len=12 random-glyph
+    shorts ('9zS', '-*', ',0'), the highest irreducible-confusion class
+    (no context, I/l/O/0 ambiguity at 1-3 glyphs). A 4-seed MEAN gate is
+    stable where the old single-seed 0.85 had 0.81-1.00 spread.
+
     Regression for the Pallas-CCL VMEM ceiling: the 512² tile coarse grid
     must route to the XLA scans (the whole-grid kernel's scoped stack peaks
     ~156 B/cell and overflows the 16 MB limit — measured 39 MB)."""
@@ -266,19 +277,23 @@ def test_c5_tiled_e2e_on_tpu():
     from ocrjax.train import synth
 
     eng = OcrEngine.from_pretrained()
-    rng = np.random.RandomState(42)
-    page, quads, texts = synth.render_page(
-        rng, eng.charset, size=(2048, 2048), n_lines=(12, 16), max_len=12)
-    img = np.repeat(page[..., None], 3, axis=2)
-    res = eng.ocr_tiled(img)
-    preds = [l.text for l in res.lines]
-    rem = list(texts)
-    exact = 0
-    for p in preds:
-        if p in rem:
-            rem.remove(p)
-            exact += 1
-    assert len(preds) >= len(texts) - 1, (len(preds), len(texts))
-    # same quality class as the single-page gates now that C5 recognition
-    # runs the pooled refined-warp path (was 0.70 with host AABB crops)
-    assert exact / len(texts) >= 0.85, (exact, len(texts), rem)
+    per_seed = []
+    for seed in range(42, 46):
+        rng = np.random.RandomState(seed)
+        page, quads, texts = synth.render_page(
+            rng, eng.charset, size=(2048, 2048), n_lines=(12, 16),
+            max_len=12)
+        img = np.repeat(page[..., None], 3, axis=2)
+        res = eng.ocr_tiled(img)
+        preds = [l.text for l in res.lines]
+        rem = list(texts)
+        exact = 0
+        for p in preds:
+            if p in rem:
+                rem.remove(p)
+                exact += 1
+        assert len(preds) >= len(texts) - 1, (seed, len(preds), len(texts))
+        per_seed.append(exact / len(texts))
+    # measured 4-seed mean 0.922 (0.81-1.00 per-seed); gate leaves ~1.5
+    # extra misses of headroom for render/numerics noise
+    assert float(np.mean(per_seed)) >= 0.88, per_seed
