@@ -25,7 +25,9 @@ import numpy as np
 
 from ocrjax import geometry, preprocess
 from ocrjax.ops.warp import (expand_quads, warp_quads_multi,
-                             warp_quads_multi_refined)
+                             warp_quads_multi_refined,
+                             warp_quads_multi_sep_refined,
+                             warp_quads_multi_separable)
 
 
 def assign_width_buckets(est_widths: np.ndarray, buckets: Sequence[int]
@@ -41,6 +43,35 @@ def assign_width_buckets(est_widths: np.ndarray, buckets: Sequence[int]
 
 def pad_count(n: int, cfg) -> int:
     return cfg.line_bucket_for_count(n)
+
+
+def sep_warp_mask(quads: np.ndarray, warp_src: np.ndarray, cfg,
+                  page_h: int | None = None) -> np.ndarray:
+    """Which pooled quads may take the separable MXU warp (cfg.pooled_sep_warp).
+
+    A quad qualifies when its tilt from horizontal sits within the same
+    per-box noise-aware threshold the fused rotation reroute trusts
+    (max(fused_rotation_reroute_deg, atan(noise_px / long_side)) — below
+    that, measured tilt is prob-map extent noise and an AABB crop matches
+    the homography crop after ink refinement, the identical argument the
+    fused path's default separable warp rests on), and when the expanded
+    AABB fits the warp's row tile. Tilted, near-vertical (landscape), and
+    tall quads keep the exact homography gather warp.
+    """
+    q = np.asarray(quads, np.float32)
+    tilt = geometry.quad_tilt_deg(q)          # [0, 90] from horizontal
+    w_len = np.linalg.norm(q[:, 1] - q[:, 0], axis=1)
+    h_len = np.linalg.norm(q[:, 3] - q[:, 0], axis=1)
+    long_side = np.maximum(np.maximum(w_len, h_len), 1.0)
+    thresh = np.maximum(
+        cfg.fused_rotation_reroute_deg,
+        np.degrees(np.arctan2(cfg.fused_reroute_noise_px, long_side)))
+    ws = np.asarray(warp_src, np.float32)
+    aabb_h = ws[..., 1].max(axis=-1) - ws[..., 1].min(axis=-1)
+    tile_h = cfg.pooled_sep_tile_h
+    if page_h is not None:  # the warp clamps its row tile to the page
+        tile_h = min(tile_h, int(page_h))
+    return (tilt <= thresh) & (aabb_h <= tile_h - 4)
 
 
 class _NullStage:
@@ -113,15 +144,27 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
     if prior_ids is None:
         prior_ids = page_ids
     pending = []
-    # One dispatch per (width bucket, count chunk): a width bucket holding
-    # more quads than the largest count bucket is split, not crashed (C5
-    # pages can pool hundreds of same-width lines).
+    # One dispatch per (width bucket, warp kind, count chunk): a width
+    # bucket holding more quads than the largest count bucket is split, not
+    # crashed (C5 pages can pool hundreds of same-width lines). Warp kind
+    # (cfg.pooled_sep_warp): near-axis-aligned quads take the separable MXU
+    # warp — the gather-based homography warp measured ~1.4 ms/strip of
+    # device time on the v5e (93% of the bucketed path's dominant stage,
+    # scripts/diag_rec_fetch.py) — while tilted/tall quads keep exact
+    # homography rectification. On all-straight or all-tilted inputs (the
+    # common cases) the split adds no chunks and no padding.
     cap = cfg.line_batch_buckets[-1]
+    sep_ok = (sep_warp_mask(quads, warp_src, cfg,
+                            page_h=int(gray_dev.shape[1]))
+              if cfg.pooled_sep_warp
+              else np.zeros(len(quads), bool))
     chunks = []
     for bucket_w, idx_all in assign_width_buckets(
             est_w, cfg.rec_width_buckets).items():
-        for lo in range(0, len(idx_all), cap):
-            chunks.append((bucket_w, idx_all[lo:lo + cap]))
+        for sep in (True, False):
+            gidx = idx_all[sep_ok[idx_all] == sep]
+            for lo in range(0, len(gidx), cap):
+                chunks.append((bucket_w, gidx[lo:lo + cap], sep))
     flips_all = None
     if try_flip:
         # PHASE A+B of the page-wide orientation pass: margins for EVERY
@@ -134,7 +177,7 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
         with T.stage("cls_margins"):
             margins = np.zeros(len(quads), np.float32)
             mpend = []
-            for bucket_w, idx in chunks:
+            for bucket_w, idx, _sep in chunks:
                 n = len(idx)
                 nb = pad_count(n, cfg)
                 sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
@@ -161,13 +204,16 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
                     jnp.asarray(seg, jnp.int32), cfg.cls_page_prior))
             flips_all = margins > 0
     with T.stage("rec_dispatch"):
-        for bucket_w, idx in chunks:
+        for bucket_w, idx, sep in chunks:
             n = len(idx)
             nb = pad_count(n, cfg)
             sel = np.concatenate([idx, np.repeat(idx[-1:], nb - n)])
             ws, oq = warp_src[sel], quads[sel]
             if cfg.rec_snap_to_ink:
-                strips, widths = warp_quads_multi_refined(
+                refined_warp = (warp_quads_multi_sep_refined if sep
+                                else warp_quads_multi_refined)
+                kw = ({"tile_h": cfg.pooled_sep_tile_h} if sep else {})
+                strips, widths = refined_warp(
                     gray_dev, jnp.asarray(page_ids[sel]),
                     jnp.asarray(ws), jnp.asarray(b_all[sel]),
                     rec_height=cfg.rec_height, bucket_width=bucket_w,
@@ -175,7 +221,14 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
                     margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
                     x_margin_keep=cfg.rec_ink_x_margin_keep,
                     pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
-                    orig_quads=jnp.asarray(oq))
+                    orig_quads=jnp.asarray(oq), **kw)
+            elif sep:
+                strips, widths = warp_quads_multi_separable(
+                    gray_dev, jnp.asarray(page_ids[sel]),
+                    jnp.asarray(ws),
+                    rec_height=cfg.rec_height, bucket_width=bucket_w,
+                    tile_h=cfg.pooled_sep_tile_h,
+                    pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
             else:
                 strips, widths = warp_quads_multi(
                     gray_dev, jnp.asarray(page_ids[sel]),

@@ -291,6 +291,104 @@ def warp_quads_separable(
     return strips, widths
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "rec_height", "bucket_width", "tile_h"))
+def warp_quads_multi_separable(
+    pages: jnp.ndarray,
+    page_ids: jnp.ndarray,
+    quads: jnp.ndarray,
+    *,
+    rec_height: int = 32,
+    bucket_width: int = 320,
+    tile_h: int = 128,
+    pad_value: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pooled separable (MXU) AABB crop+resize — the fast path of the
+    pooled/bucketed warp, mirroring what warp_quads_separable is to the
+    fused path.
+
+    warp_quads_multi costs ~1.4 ms/strip on the v5e (measured via
+    scripts/diag_rec_fetch.py: 531 pooled strips = ~800 ms device time,
+    93% of the bucketed path's dominant stage): a 41k-point bilinear
+    gather per strip (XLA TPU gathers execute near-serially) plus a
+    per-lane dynamic page select. Here each strip instead
+    dynamic-slices a (tile_h, S) row band around its quad's AABB — one
+    contiguous block copy — and resamples with two bilinear-weight
+    matmuls on the MXU: wy (H, tile_h) @ tile (tile_h, S) @ wx^T
+    (S, W). Exact for axis-aligned quads (same mapping as
+    warp_quads_separable); callers must route quads that are tilted or
+    taller than tile_h to warp_quads_multi (see
+    bucketing.recognize_pooled).
+
+    pages: (B, Hp, Wp) float32 normalized canvases.
+    page_ids: (N,) int32 page per quad. quads: (N, 4, 2) canvas coords.
+    Quads whose AABB height exceeds tile_h are sampled only within the
+    tile (rows below it read as the tile's last row) — route them away.
+    """
+    Hp, Wp = pages.shape[1], pages.shape[2]
+    Hh, W, TH = rec_height, bucket_width, min(tile_h, Hp)
+    x0 = quads[..., 0].min(axis=-1)
+    x1 = quads[..., 0].max(axis=-1)
+    y0 = quads[..., 1].min(axis=-1)
+    y1 = quads[..., 1].max(axis=-1)
+    widths = jnp.clip(
+        jnp.round((x1 - x0 + 1.0) * Hh / jnp.maximum(y1 - y0 + 1.0, 1.0)),
+        1, W).astype(jnp.int32)
+    # tile origin: one row of bilinear slack above the quad, clamped inside
+    ty = jnp.clip(jnp.floor(y0) - 1.0, 0.0, float(max(Hp - TH, 0)))
+
+    vout = jax.lax.broadcasted_iota(jnp.float32, (Hh, 1), 0)
+    uout = jax.lax.broadcasted_iota(jnp.float32, (W, 1), 0)
+    src_y = jax.lax.broadcasted_iota(jnp.float32, (1, TH), 1)
+    src_x = jax.lax.broadcasted_iota(jnp.float32, (1, Wp), 1)
+
+    def one(pid, ty_i, xa, xb, ya, yb, w):
+        tile = jax.lax.dynamic_slice(
+            pages, (pid, ty_i.astype(jnp.int32), 0), (1, TH, Wp))[0]
+        ys = (ya - ty_i) + vout * (yb - ya) / (Hh - 1.0)       # (Hh, 1)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - src_y))       # (Hh, TH)
+        xs = xa + uout * (xb - xa) / jnp.maximum(
+            w.astype(jnp.float32) - 1.0, 1.0)                  # (W, 1)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - src_x))       # (W, Wp)
+        out = (wy @ tile) @ wx.T                               # (Hh, W)
+        mask = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) < w
+        return jnp.where(mask, out, pad_value)
+
+    strips = jax.vmap(one)(page_ids.astype(jnp.int32), ty,
+                           x0, x1, y0, y1, widths)
+    return strips, widths
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rec_height", "bucket_width", "tile_h", "margin_fracs", "x_margin_keep"))
+def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
+                                 rec_height: int = 32,
+                                 bucket_width: int = 320,
+                                 tile_h: int = 128,
+                                 ink_thresh: float = 0.0,
+                                 margin_fracs=None,
+                                 x_margin_keep: float = 1.0,
+                                 pad_value: float = 0.0, orig_quads=None
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-pass warp_quads_multi_separable: probe → AABB ink refine →
+    re-warp (the pooled twin of the fused path's separable two-pass;
+    refine_aabb_to_ink matches the separable warp's linear mapping).
+    The refined quad is contained in the expanded probe quad, so the
+    pass-2 tile routing constraint is inherited from pass 1."""
+    strips, widths = warp_quads_multi_separable(
+        pages, page_ids, quads,
+        rec_height=rec_height, bucket_width=bucket_width, tile_h=tile_h,
+        pad_value=pad_value)
+    refined = refine_aabb_to_ink(
+        strips, widths, quads, rec_height=rec_height, bounds=bounds,
+        ink_thresh=ink_thresh, margin_fracs=margin_fracs,
+        x_margin_keep=x_margin_keep, orig_quads=orig_quads)
+    return warp_quads_multi_separable(
+        pages, page_ids, refined,
+        rec_height=rec_height, bucket_width=bucket_width, tile_h=tile_h,
+        pad_value=pad_value)
+
+
 def expand_quads(quads, frac_y: float, frac_x: float, bounds=None):
     """Grow each quad outward by a fraction of its own height.
 
