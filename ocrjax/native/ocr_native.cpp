@@ -14,8 +14,14 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define OCR_X86 1
+#endif
 
 namespace {
 
@@ -346,6 +352,104 @@ void occ_pack_nibbles(const uint8_t* gray, int64_t n_rows, int64_t W,
 }
 
 // ---------------------------------------------------------------------------
+// SIMD RGB→luma. Bit-exact with the scalar fixed-point formula
+// ((9798 R + 19235 G + 3735 B + 16384) >> 15): the SSSE3 path deinterleaves
+// 16 RGB pixels (48 B) with pshufb masks, widens to 16-bit, and evaluates
+// the identical integer expression with _mm_madd_epi16 pairs
+// (9798·R + 19235·G) + (3735·B + 16384·1) in 32-bit before the >>15 —
+// same arithmetic, same rounding, every input. Runtime-dispatched
+// (__builtin_cpu_supports) so the baseline build stays SSE2-safe; the
+// scalar loop in occ_decode_canvas remains the fallback and the tail.
+// Measured: the luma pass was the bulk of the 1.45 ms/page native decode
+// on the 960² bench canvases (the serial host is the e2e bottleneck at
+// 158 pages/s — BENCH_DETAIL host_decode 316-378 ms per 96-page window).
+// ---------------------------------------------------------------------------
+#ifdef OCR_X86
+__attribute__((target("ssse3")))
+static void luma_rows_ssse3(const uint8_t* p, uint8_t* dst, int64_t n,
+                            bool invert) {
+  // pshufb deinterleave masks for 16 px across three 16-B loads
+  const __m128i mr0 = _mm_setr_epi8(0, 3, 6, 9, 12, 15, -1, -1, -1, -1, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mr1 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, 2, 5, 8, 11, 14,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mr2 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                    -1, 1, 4, 7, 10, 13);
+  const __m128i mg0 = _mm_setr_epi8(1, 4, 7, 10, 13, -1, -1, -1, -1, -1, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mg1 = _mm_setr_epi8(-1, -1, -1, -1, -1, 0, 3, 6, 9, 12, 15,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mg2 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                    -1, 2, 5, 8, 11, 14);
+  const __m128i mb0 = _mm_setr_epi8(2, 5, 8, 11, 14, -1, -1, -1, -1, -1, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mb1 = _mm_setr_epi8(-1, -1, -1, -1, -1, 1, 4, 7, 10, 13, -1,
+                                    -1, -1, -1, -1, -1);
+  const __m128i mb2 = _mm_setr_epi8(-1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                                    0, 3, 6, 9, 12, 15);
+  const __m128i wrg = _mm_set1_epi32((19235 << 16) | 9798);
+  const __m128i wb1 = _mm_set1_epi32((16384 << 16) | 3735);
+  const __m128i ones = _mm_set1_epi8(1);
+  const __m128i inv = _mm_set1_epi8(static_cast<char>(0xFF));
+  const __m128i zero = _mm_setzero_si128();
+  int64_t i = 0;
+  for (; i + 16 <= n; i += 16, p += 48) {
+    __m128i v0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p));
+    __m128i v1 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p + 16));
+    __m128i v2 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p + 32));
+    if (invert) {
+      v0 = _mm_xor_si128(v0, inv);
+      v1 = _mm_xor_si128(v1, inv);
+      v2 = _mm_xor_si128(v2, inv);
+    }
+    const __m128i r = _mm_or_si128(
+        _mm_or_si128(_mm_shuffle_epi8(v0, mr0), _mm_shuffle_epi8(v1, mr1)),
+        _mm_shuffle_epi8(v2, mr2));
+    const __m128i g = _mm_or_si128(
+        _mm_or_si128(_mm_shuffle_epi8(v0, mg0), _mm_shuffle_epi8(v1, mg1)),
+        _mm_shuffle_epi8(v2, mg2));
+    const __m128i b = _mm_or_si128(
+        _mm_or_si128(_mm_shuffle_epi8(v0, mb0), _mm_shuffle_epi8(v1, mb1)),
+        _mm_shuffle_epi8(v2, mb2));
+    const __m128i rg_lo = _mm_unpacklo_epi8(r, g);   // r0 g0 r1 g1 … bytes
+    const __m128i rg_hi = _mm_unpackhi_epi8(r, g);
+    const __m128i b1_lo = _mm_unpacklo_epi8(b, ones);  // b0 1 b1 1 … bytes
+    const __m128i b1_hi = _mm_unpackhi_epi8(b, ones);
+    __m128i q[4];
+    const __m128i pairs[4][2] = {{rg_lo, b1_lo}, {rg_lo, b1_lo},
+                                 {rg_hi, b1_hi}, {rg_hi, b1_hi}};
+    for (int k = 0; k < 4; ++k) {
+      const __m128i rg16 = (k & 1)
+          ? _mm_unpackhi_epi8(pairs[k][0], zero)   // 16-bit r g r g (4 px)
+          : _mm_unpacklo_epi8(pairs[k][0], zero);
+      const __m128i b116 = (k & 1)
+          ? _mm_unpackhi_epi8(pairs[k][1], zero)   // 16-bit b 1 b 1 (4 px)
+          : _mm_unpacklo_epi8(pairs[k][1], zero);
+      q[k] = _mm_srli_epi32(
+          _mm_add_epi32(_mm_madd_epi16(rg16, wrg),
+                        _mm_madd_epi16(b116, wb1)), 15);
+    }
+    const __m128i y16a = _mm_packs_epi32(q[0], q[1]);
+    const __m128i y16b = _mm_packs_epi32(q[2], q[3]);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(dst + i),
+                     _mm_packus_epi16(y16a, y16b));
+  }
+  for (; i < n; ++i, p += 3) {  // scalar tail, same formula
+    const int32_t r = invert ? 255 - p[0] : p[0];
+    const int32_t g = invert ? 255 - p[1] : p[1];
+    const int32_t b = invert ? 255 - p[2] : p[2];
+    dst[i] = static_cast<uint8_t>(
+        (9798 * r + 19235 * g + 3735 * b + 16384) >> 15);
+  }
+}
+
+static bool has_ssse3() {
+  static const bool ok = __builtin_cpu_supports("ssse3");
+  return ok;
+}
+#endif  // OCR_X86
+
+// ---------------------------------------------------------------------------
 // Fused host decode of the detection canvas (the host_decode hot path).
 //
 // RGB/gray (h, w, c) u8 → 601-luma canvas (S, S) u8 with the aspect-
@@ -400,58 +504,81 @@ void occ_decode_canvas(const uint8_t* img, int64_t h, int64_t w, int64_t c,
   // mean-channel median < 128  ⇔  channel-sum median < 384
   const bool invert = auto_invert && median_sum < 384;
 
-  // --- pass 1: full-res luma (+ inversion) into scratch -------------------
-  std::vector<uint8_t> luma(static_cast<size_t>(h) * w);
-  const int64_t n_px = h * w;
-  auto do_luma = [&](int64_t i0, int64_t i1) {
-    if (c == 3) {
-      const uint8_t* p = img + i0 * 3;
-      if (invert) {
-        for (int64_t i = i0; i < i1; ++i, p += 3)
-          // channel-wise inversion BEFORE the fixed-point luma, matching
-          // load_image(255 - rgb) -> cv2 luma bit-exactly (255 - luma(rgb)
-          // differs by one rounding step on ~1e-4 of pixels)
-          luma[i] = static_cast<uint8_t>(
-              (9798 * (255 - p[0]) + 19235 * (255 - p[1]) +
-               3735 * (255 - p[2]) + 16384) >> 15);
+  // --- pass 1: full-res luma (+ inversion) --------------------------------
+  // No-resize case (page already canvas-sized — the bench and most serving
+  // inputs): luma lands DIRECTLY in the out canvas at row stride S, so the
+  // scratch alloc+memset and the pass-2 row copies vanish (measured: they
+  // were ~1 ms of the 1.45 ms/page native decode, the zero-initializing
+  // std::vector being a full third pass over the image by itself).
+  const double scale = std::min(static_cast<double>(S) / std::max(h, w), 1.0);
+  const int64_t nh = std::max<int64_t>(1, llround(h * scale));
+  const int64_t nw = std::max<int64_t>(1, llround(w * scale));
+  const bool same_size = (nh == h && nw == w);
+  std::unique_ptr<uint8_t[]> scratch;
+  uint8_t* lbuf = out;           // same_size: rows at stride S
+  int64_t lstride = S;
+  if (!same_size) {
+    scratch.reset(new uint8_t[static_cast<size_t>(h) * w]);  // uninitialized
+    lbuf = scratch.get();
+    lstride = w;
+  }
+  auto do_luma = [&](int64_t r0, int64_t r1) {
+    for (int64_t y = r0; y < r1; ++y) {
+      uint8_t* dst = lbuf + y * lstride;
+      if (c == 3) {
+        const uint8_t* p = img + y * w * 3;
+#ifdef OCR_X86
+        if (has_ssse3()) {
+          luma_rows_ssse3(p, dst, w, invert);
+          continue;
+        }
+#endif
+        if (invert) {
+          for (int64_t x = 0; x < w; ++x, p += 3)
+            // channel-wise inversion BEFORE the fixed-point luma, matching
+            // load_image(255 - rgb) -> cv2 luma bit-exactly (255 - luma(rgb)
+            // differs by one rounding step on ~1e-4 of pixels)
+            dst[x] = static_cast<uint8_t>(
+                (9798 * (255 - p[0]) + 19235 * (255 - p[1]) +
+                 3735 * (255 - p[2]) + 16384) >> 15);
+        } else {
+          for (int64_t x = 0; x < w; ++x, p += 3)
+            dst[x] = static_cast<uint8_t>(
+                (9798 * p[0] + 19235 * p[1] + 3735 * p[2] + 16384) >> 15);
+        }
       } else {
-        for (int64_t i = i0; i < i1; ++i, p += 3)
-          luma[i] = static_cast<uint8_t>(
-              (9798 * p[0] + 19235 * p[1] + 3735 * p[2] + 16384) >> 15);
-      }
-    } else {
-      if (invert) {
-        for (int64_t i = i0; i < i1; ++i)
-          luma[i] = static_cast<uint8_t>(255 - img[i]);
-      } else {
-        std::memcpy(luma.data() + i0, img + i0, static_cast<size_t>(i1 - i0));
+        const uint8_t* p = img + y * w;
+        if (invert) {
+          for (int64_t x = 0; x < w; ++x)
+            dst[x] = static_cast<uint8_t>(255 - p[x]);
+        } else {
+          std::memcpy(dst, p, static_cast<size_t>(w));
+        }
       }
     }
   };
-  const int64_t kMinPx = 1 << 20;
+  const int64_t kMinRows = (1 << 20) / std::max<int64_t>(w, 1);
   int64_t n_threads = std::min<int64_t>(
-      std::thread::hardware_concurrency() | 1, (n_px + kMinPx - 1) / kMinPx);
+      std::thread::hardware_concurrency() | 1,
+      (h + kMinRows - 1) / std::max<int64_t>(kMinRows, 1));
   if (n_threads <= 1) {
-    do_luma(0, n_px);
+    do_luma(0, h);
   } else {
     std::vector<std::thread> workers;
-    const int64_t per = (n_px + n_threads - 1) / n_threads;
+    const int64_t per = (h + n_threads - 1) / n_threads;
     for (int64_t t = 0; t < n_threads; ++t) {
-      const int64_t i0 = t * per;
-      if (i0 >= n_px) break;
-      workers.emplace_back(do_luma, i0, std::min(i0 + per, n_px));
+      const int64_t r0 = t * per;
+      if (r0 >= h) break;
+      workers.emplace_back(do_luma, r0, std::min(r0 + per, h));
     }
     for (auto& wk : workers) wk.join();
   }
 
   // --- pass 2: resize into the canvas + replicate pad ---------------------
-  const double scale = std::min(static_cast<double>(S) / std::max(h, w), 1.0);
-  const int64_t nh = std::max<int64_t>(1, llround(h * scale));
-  const int64_t nw = std::max<int64_t>(1, llround(w * scale));
-  if (nh == h && nw == w) {
-    for (int64_t y = 0; y < nh; ++y)
-      std::memcpy(out + y * S, luma.data() + y * w, static_cast<size_t>(nw));
+  if (same_size) {
+    // luma already wrote the canvas rows in place
   } else {
+    const uint8_t* luma = scratch.get();
     // bilinear, cv2 INTER_LINEAR pixel-center convention
     std::vector<int32_t> xi(nw);
     std::vector<float> xw(nw);
@@ -473,7 +600,7 @@ void occ_decode_canvas(const uint8_t* img, int64_t h, int64_t w, int64_t c,
       int32_t y0 = static_cast<int32_t>(fy);
       if (h > 1) y0 = std::min<int32_t>(y0, static_cast<int32_t>(h) - 2);
       const float wy = (h > 1) ? static_cast<float>(fy - y0) : 0.0f;
-      const uint8_t* r0 = luma.data() + static_cast<int64_t>(y0) * w;
+      const uint8_t* r0 = luma + static_cast<int64_t>(y0) * w;
       const uint8_t* r1 = (h > 1) ? r0 + w : r0;
       uint8_t* dst = out + y * S;
       for (int64_t x = 0; x < nw; ++x) {

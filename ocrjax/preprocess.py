@@ -124,7 +124,7 @@ def _imread_rgb(path: str) -> np.ndarray:
 
 
 def decode_canvas_native(img: np.ndarray, cfg: OcrConfig,
-                         chroma_thresh: int = 40):
+                         chroma_thresh: int = 40, out: np.ndarray = None):
     """Fused native host decode of the detection canvas, or None.
 
     One C++ call (native/ocr_native.cpp occ_decode_canvas) replaces the
@@ -152,7 +152,13 @@ def decode_canvas_native(img: np.ndarray, cfg: OcrConfig,
     import ctypes
     img = np.ascontiguousarray(img)
     S = cfg.det_max_side
-    out = np.empty((S, S), np.uint8)
+    if out is None:
+        out = np.empty((S, S), np.uint8)
+    else:
+        # caller-owned canvas (e.g. a grays[j] chunk row) — saves a full
+        # (S, S) copy per page on the serial host_decode hot path
+        assert out.shape == (S, S) and out.dtype == np.uint8 \
+            and out.flags.c_contiguous
     meta = np.zeros((5,), np.int64)
     lib.occ_decode_canvas(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -210,9 +216,9 @@ def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
             if gf is to_gray:  # default-luma pages take the fused C++ path
                 arr = im if isinstance(im, np.ndarray) else _imread_rgb(im)
                 if isinstance(arr, np.ndarray):
-                    native = decode_canvas_native(arr, cfg)
+                    native = decode_canvas_native(arr, cfg, out=grays[j])
             if native is not None:
-                grays[j], scales[j], valid_hw[j], cfrac = native
+                _, scales[j], valid_hw[j], cfrac = native
                 if color_frac > 0 and cfrac > color_frac:
                     colorful[j] = True
                 return
