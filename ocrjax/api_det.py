@@ -309,10 +309,21 @@ def _rec_strips_jit(engine, strips, widths, beam: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("engine", "beam"))
 def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False):
-    """_rec_strips_jit with all outputs packed into one (n, T+2) float32
-    array so the host fetches a single buffer (one link RTT, not three)."""
+    """_rec_strips_jit with all outputs packed into one array so the host
+    fetches a single buffer (one link RTT, not three). With
+    cfg.fetch_bytes the buffer is (n, T+5) uint8 — token ids/counts as
+    bytes, conf as its four bitcast bytes (ops.bytepack; ~4x fewer link
+    bytes, values bit-identical) — else (n, T+2) float32."""
+    from ocrjax.ops import bytepack
+
     tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
         engine, strips, widths, beam=beam)
+    if bytepack.use_byte_fetch(engine):
+        return jnp.concatenate([
+            tokens.astype(jnp.uint8),
+            n_tokens[:, None].astype(jnp.uint8),
+            bytepack.f32_to_bytes(conf[:, None]),
+        ], axis=1)
     return jnp.concatenate([
         tokens.astype(jnp.float32),
         n_tokens[:, None].astype(jnp.float32),
@@ -321,8 +332,14 @@ def _rec_strips_packed_jit(engine, strips, widths, beam: bool = False):
 
 
 def unpack_rec(packed: np.ndarray, max_tokens: int):
-    """Host-side inverse of _rec_strips_packed_jit."""
+    """Host-side inverse of _rec_strips_packed_jit (either payload dtype)."""
+    from ocrjax.ops import bytepack
+
     T = max_tokens
+    if packed.dtype == np.uint8:
+        return (packed[:, :T].astype(np.int32),
+                packed[:, T].astype(np.int32),
+                bytepack.bytes_to_f32(packed[:, T + 1:T + 5])[:, 0])
     return (packed[:, :T].astype(np.int32),
             packed[:, T].astype(np.int32),
             packed[:, T + 1])
@@ -428,17 +445,34 @@ def _rec_strips_flip_packed_jit(engine, cls_variables, strips, widths,
     """rec_try_flip engine room: orientation-classify + conditionally
     rotate each strip (see _cls_flip_strips; seg_ids groups page-mates for
     the orientation prior), then the normal CRNN + CTC decode — one XLA
-    program, one fetched (N, T+3) buffer.
-    Packed columns: T tokens, n_tokens, conf, flip(0/1)."""
+    program, one fetched buffer.
+    Packed columns: T tokens, n_tokens, flip(0/1), conf — as (N, T+6)
+    uint8 under cfg.fetch_bytes (conf bitcast to 4 bytes), else (N, T+3)
+    float32 with conf before flip (the legacy column order)."""
     strips, flipped = _cls_flip_strips(engine, cls_variables, strips,
                                        widths, seg_ids)
     tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
         engine, strips, widths, beam=beam)
+    return _pack_rec_flip(engine, tokens, n_tokens, conf, flipped)
+
+
+def _pack_rec_flip(engine, tokens, n_tokens, conf, flip):
+    """Shared payload packer for the two flip-rec programs (decided and
+    forced flips) — byte layout under cfg.fetch_bytes, float32 otherwise."""
+    from ocrjax.ops import bytepack
+
+    if bytepack.use_byte_fetch(engine):
+        return jnp.concatenate([
+            tokens.astype(jnp.uint8),
+            n_tokens[:, None].astype(jnp.uint8),
+            flip[:, None].astype(jnp.uint8),
+            bytepack.f32_to_bytes(conf[:, None]),
+        ], axis=1)
     return jnp.concatenate([
         tokens.astype(jnp.float32),
         n_tokens[:, None].astype(jnp.float32),
         conf[:, None],
-        flipped[:, None].astype(jnp.float32),
+        flip[:, None].astype(jnp.float32),
     ], axis=1)
 
 
@@ -467,8 +501,7 @@ def _rec_strips_forced_flip_packed_jit(engine, strips, widths, flip,
                                        beam: bool = False):
     """_rec_strips_flip_packed_jit with the flip DECISIONS precomputed
     (the pooled path's PHASE B output): rotate the chosen strips on
-    device, recognize, pack. Same (n, T+3) layout as the deciding
-    variant."""
+    device, recognize, pack. Same layout as the deciding variant."""
     from ocrjax.models import cls as C
 
     cfg = engine.config
@@ -476,17 +509,19 @@ def _rec_strips_forced_flip_packed_jit(engine, strips, widths, flip,
         strips, widths, flip, (0.0 - cfg.rec_mean) / cfg.rec_std)
     tokens, n_tokens, conf = _rec_strips_jit.__wrapped__(
         engine, strips, widths, beam=beam)
-    return jnp.concatenate([
-        tokens.astype(jnp.float32),
-        n_tokens[:, None].astype(jnp.float32),
-        conf[:, None],
-        flip[:, None].astype(jnp.float32),
-    ], axis=1)
+    return _pack_rec_flip(engine, tokens, n_tokens, conf, flip)
 
 
 def unpack_rec_flip(packed: np.ndarray, max_tokens: int):
-    """Host-side inverse of _rec_strips_flip_packed_jit."""
+    """Host-side inverse of _rec_strips_flip_packed_jit (either dtype)."""
+    from ocrjax.ops import bytepack
+
     T = max_tokens
+    if packed.dtype == np.uint8:
+        return (packed[:, :T].astype(np.int32),
+                packed[:, T].astype(np.int32),
+                bytepack.bytes_to_f32(packed[:, T + 2:T + 6])[:, 0],
+                packed[:, T + 1] > 0)
     return (packed[:, :T].astype(np.int32),
             packed[:, T].astype(np.int32),
             packed[:, T + 1],

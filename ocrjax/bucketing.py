@@ -308,13 +308,25 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
     ok = np.ones((B,), bool)
 
     # ---- pipelined chunked detection --------------------------------------
+    # Decode lookahead (mirrors ocr_pages_fused): chunk k+1's host decode
+    # runs on the dedicated prefetch thread while chunk k's upload +
+    # dispatch are in flight, so only the first chunk's decode is on the
+    # critical path.
+    from ocrjax.fused import _get_prefetch_pool
+
+    def _decode(lo, hi):
+        return preprocess.decode_chunk_to_gray(images, range(lo, hi), cfg)
+
+    bounds = [(lo, min(lo + C, B)) for lo in range(0, B, C)]
+    pending_decode = _get_prefetch_pool().submit(_decode, *bounds[0])
     chunk_devs, chunk_packed = [], []
-    for lo in range(0, B, C):
-        hi = min(lo + C, B)
+    for ci, (lo, hi) in enumerate(bounds):
         with T.stage("host_decode"):
             grays, scales[lo:hi], valid_hw[lo:hi], ok[lo:hi], _ = \
-                preprocess.decode_chunk_to_gray(
-                    images, range(lo, hi), cfg)
+                pending_decode.result()
+        if ci + 1 < len(bounds):
+            pending_decode = _get_prefetch_pool().submit(
+                _decode, *bounds[ci + 1])
         with T.stage("det_dispatch"):
             dev = jnp.asarray(preprocess.pack_for_upload(grays, cfg))
             _, packed = st.forward(st.variables, dev)

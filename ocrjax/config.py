@@ -208,6 +208,12 @@ class OcrConfig:
                                      # congested-tunnel throughput doubles;
                                      # 16 gray levels measured quality-
                                      # neutral on the e2e gates), 8 = raw u8
+    fetch_bytes: bool = True         # downlink transport: pack rec/fused
+                                     # payloads as uint8 on device (token-id
+                                     # columns are small ints; float columns
+                                     # are BITCAST, not quantized — values
+                                     # identical, ~3-4x fewer fetch bytes).
+                                     # False = legacy all-float32 payloads
 
     def replace(self, **kw) -> "OcrConfig":
         return dataclasses.replace(self, **kw)

@@ -160,12 +160,30 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
             tokens, n_tokens, conf = ctc.ctc_greedy_decode(
                 logits, frame_lengths, blank=cfg.ctc_blank,
                 max_tokens=cfg.rec_max_tokens)
-        # Pack every output into ONE (B, K*(T+12)) float32 array — K*(T+13)
-        # with the rec_try_flip column: on the remote-TPU link each fetched
-        # buffer costs a full RTT (~33 ms measured), so 6 separate outputs
-        # would burn ~165 ms per batch. Token ids and counts are small
-        # ints — exact in float32.
+        # Pack every output into ONE array: on the remote-TPU link each
+        # fetched buffer costs a full RTT (~33 ms measured), so 6 separate
+        # outputs would burn ~165 ms per batch. With cfg.fetch_bytes the
+        # row is uint8 — token ids/counts/valid/flip as bytes (small exact
+        # ints) and the float columns (conf/quads/scores) BITCAST to raw
+        # bytes (ops.bytepack) — K*(T+45) bytes vs K*(T+12) float32, ~3.3x
+        # fewer link bytes with bit-identical values. Legacy float32
+        # layout kept for fetch_bytes=False.
         T = cfg.rec_max_tokens
+        from ocrjax.ops import bytepack
+        if bytepack.use_byte_fetch(engine):
+            parts = [
+                tokens.astype(jnp.uint8).reshape(B, K * T),
+                n_tokens.astype(jnp.uint8).reshape(B, K),
+                line_valid.astype(jnp.uint8).reshape(B, K),
+            ]
+            if cfg.rec_try_flip:
+                parts.append(flip.astype(jnp.uint8).reshape(B, K))
+            parts += [
+                bytepack.f32_to_bytes(conf.reshape(B, K)),
+                bytepack.f32_to_bytes(quads.reshape(B, K * 8)),
+                bytepack.f32_to_bytes(top_s.reshape(B, K)),
+            ]
+            return jnp.concatenate(parts, axis=1)
         parts = [
             tokens.astype(jnp.float32).reshape(B, K * T),
             n_tokens.astype(jnp.float32).reshape(B, K),
@@ -183,9 +201,12 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
 
 def unpack_fused(payload: np.ndarray, K: int, max_tokens: int,
                  try_flip: bool = False):
-    """Host-side inverse of the fused program's packed output row layout.
+    """Host-side inverse of the fused program's packed output row layout
+    (byte layout when payload is uint8, legacy float32 otherwise).
     try_flip must match the cfg.rec_try_flip the program was built with
     (it appends one more (B, K) column of 180°-flip decisions)."""
+    from ocrjax.ops import bytepack
+
     B = payload.shape[0]
     T = max_tokens
     o = 0
@@ -195,6 +216,20 @@ def unpack_fused(payload: np.ndarray, K: int, max_tokens: int,
         part = payload[:, o:o + n]
         o += n
         return part
+
+    if payload.dtype == np.uint8:
+        out = {
+            "tokens": take(K * T).reshape(B, K, T).astype(np.int32),
+            "n_tokens": take(K).astype(np.int32),
+            "valid": take(K) > 0,
+            "flipped": (take(K) > 0 if try_flip
+                        else np.zeros((B, K), bool)),
+        }
+        out["conf"] = bytepack.bytes_to_f32(take(K * 4))
+        out["quads"] = bytepack.bytes_to_f32(
+            take(K * 32)).reshape(B, K, 4, 2)
+        out["scores"] = bytepack.bytes_to_f32(take(K * 4))
+        return out
 
     return {
         "tokens": take(K * T).reshape(B, K, T).astype(np.int32),
@@ -260,6 +295,22 @@ def should_reroute_rotation(vq: np.ndarray, cfg) -> bool:
              and float(np.median(geometry.quad_tilt_deg(vq)))
              > cfg.rot90_tilt_deg)
     return rot90 or single or coherent
+
+
+_prefetch_pool = None
+
+
+def _get_prefetch_pool():
+    """One dedicated lookahead thread for chunk decode prefetch — separate
+    from preprocess._get_decode_pool() so the outer chunk task (which
+    blocks on that pool's per-page map) never occupies one of its
+    workers."""
+    global _prefetch_pool
+    if _prefetch_pool is None:
+        import concurrent.futures
+        _prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ocrjax-chunk-prefetch")
+    return _prefetch_pool
 
 
 class _FakeOom(RuntimeError):
@@ -357,18 +408,33 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
     outs = []
     chunk_inputs = []  # kept for the OOM retry path
     colorful: List[int] = []
-    for lo in range(0, B, C):
-        hi = min(lo + C, B)
+
+    # Decode lookahead: chunk k+1's host decode (the largest fused stage,
+    # 378 ms/96 pages in the 2026-08-19 run) runs on a prefetch thread
+    # while chunk k's upload + dispatch are in flight, so only the FIRST
+    # chunk's decode sits on the critical path. decode_chunk_to_gray is
+    # internally pooled and its hot work (native canvas decode, cv2)
+    # releases the GIL, so the overlap is real. The host_decode stage
+    # times only the blocking wait for the prefetched result.
+    def _decode(lo, hi):
+        # Color-content reroute (mirror of the rotation reroute): the
+        # fused path runs on 601 luma, which can wash out saturated
+        # colored ink entirely — such pages re-run through the staged
+        # min-channel-luma path.
+        return preprocess.decode_chunk_to_gray(
+            images, range(lo, hi), cfg,
+            color_frac=cfg.fused_color_reroute_frac)
+
+    prefetch = _get_prefetch_pool()
+    bounds = [(lo, min(lo + C, B)) for lo in range(0, B, C)]
+    pending_decode = prefetch.submit(_decode, *bounds[0])
+    for ci, (lo, hi) in enumerate(bounds):
         with _stage("host_decode"):
-            # Color-content reroute (mirror of the rotation reroute): the
-            # fused path runs on 601 luma, which can wash out saturated
-            # colored ink entirely — such pages re-run through the staged
-            # min-channel-luma path.
             grays, scales[lo:hi], valid_hw[lo:hi], ok[lo:hi], col = \
-                preprocess.decode_chunk_to_gray(
-                    images, range(lo, hi), cfg,
-                    color_frac=cfg.fused_color_reroute_frac)
+                pending_decode.result()
             colorful.extend(lo + j for j, c in enumerate(col) if c)
+        if ci + 1 < len(bounds):
+            pending_decode = prefetch.submit(_decode, *bounds[ci + 1])
         wh = valid_hw[lo:hi, ::-1].astype(np.float32)
         with _stage("fused_dispatch"):
             try:

@@ -164,9 +164,10 @@ def make_sharded_fused_ocr_fn(engine, mesh: Mesh, lines_per_page: int = 32,
 
     Signature matches ocrjax.fused.make_fused_ocr_fn's program:
     (det_vars, rec_vars, cls_vars, gray_u8 (B,S,S) u8, thr (4,),
-    valid_wh (B,2)) → packed (B, K*(T+12)) float32 — K*(T+13) when
-    cfg.rec_try_flip adds the orientation column (unpack with
-    ocrjax.fused.unpack_fused). B must be divisible by the dp axis size.
+    valid_wh (B,2)) → one packed payload row per page (uint8 under
+    cfg.fetch_bytes, legacy float32 otherwise — unpack with
+    ocrjax.fused.unpack_fused, which dispatches on dtype). B must be
+    divisible by the dp axis size.
     """
     from ocrjax import fused as F
 
