@@ -106,6 +106,67 @@ def unpack_det(packed: np.ndarray, C: int):
     return boxes, scores, valid
 
 
+@functools.partial(jax.jit, static_argnames=("C", "Kf"))
+def _truncate_det_jit(packed, C: int, Kf: int):
+    """First-Kf-slot slice of a pack_det payload, plus the per-page
+    highest-USED-slot scalar. Exact-by-construction truncation:
+    extract_boxes assigns candidate slots by ascending raster root id
+    (postprocess/db_boxes.py top_k over root_vals with a +inf sentinel), so
+    real components occupy a PREFIX of the C slots — every valid slot index
+    is < n_need. The host fetches this (B, Kf*10+1) view instead of the
+    (B, C*10) buffer and refetches the full payload only for chunks where
+    some page's n_need exceeds Kf (see fetch_det)."""
+    B = packed.shape[0]
+    boxes = packed[:, :C * 8].reshape(B, C, 8)[:, :Kf].reshape(B, Kf * 8)
+    scores = packed[:, C * 8:C * 9][:, :Kf]
+    valid = packed[:, C * 9:C * 10]
+    n_need = jnp.max(
+        jnp.where(valid > 0.5,
+                  jnp.arange(1.0, C + 1.0, dtype=jnp.float32), 0.0),
+        axis=1, keepdims=True)
+    return jnp.concatenate([boxes, scores, valid[:, :Kf], n_need], axis=1)
+
+
+def fetch_det(packed_chunks, cfg, C: int = None):
+    """Fetch detection payload chunks with the truncated-first-fetch
+    protocol (cfg.det_fetch_candidates): pull only the first Kf candidate
+    slots per page and refetch a chunk in full ONLY when one of its pages
+    actually used a later slot. Bit-exact always (the truncated view is a
+    pure prefix slice, padded back to C slots with invalid lanes on host).
+    Returns (boxes (B, C, 4, 2), scores (B, C), valid (B, C))."""
+    C = cfg.det_max_candidates if C is None else C
+    Kf = cfg.det_fetch_candidates
+    if not (0 < Kf < C):
+        arr = (np.concatenate([np.asarray(p) for p in packed_chunks])
+               if len(packed_chunks) > 1 else np.asarray(packed_chunks[0]))
+        return unpack_det(arr, C)
+    sliced = [_truncate_det_jit(p, C, Kf) for p in packed_chunks]
+    for s in sliced:
+        try:
+            s.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+    bs, ss, vs = [], [], []
+    for s, p in zip(sliced, packed_chunks):
+        arr = np.asarray(s)
+        if arr[:, Kf * 10].max() > Kf:  # a page used a slot past the slice
+            b, sc, v = unpack_det(np.asarray(p), C)
+        else:
+            n = arr.shape[0]
+            b = np.zeros((n, C, 4, 2), np.float32)
+            sc = np.zeros((n, C), np.float32)
+            v = np.zeros((n, C), bool)
+            b[:, :Kf] = arr[:, :Kf * 8].reshape(n, Kf, 4, 2)
+            sc[:, :Kf] = arr[:, Kf * 8:Kf * 9]
+            v[:, :Kf] = arr[:, Kf * 9:Kf * 10] > 0.5
+        bs.append(b)
+        ss.append(sc)
+        vs.append(v)
+    if len(bs) == 1:
+        return bs[0], ss[0], vs[0]
+    return np.concatenate(bs), np.concatenate(ss), np.concatenate(vs)
+
+
 def _det_state(engine) -> _DetState:
     if engine._det is None:
         engine._det = _DetState(engine)
@@ -134,8 +195,7 @@ def _detect_canvas(engine, image, gray_fn=None):
     canvas_dev = jnp.asarray(
         preprocess.pack_for_upload(canvas[None], engine.config))
     prob, packed = st.forward(st.variables, canvas_dev)
-    boxes, scores, valid = unpack_det(
-        np.asarray(packed), engine.config.det_max_candidates)
+    boxes, scores, valid = fetch_det([packed], engine.config)
     boxes, scores, valid = boxes[0], scores[0], valid[0]
     # drop candidates whose center lies in canvas padding
     cx = boxes[:, :, 0].mean(axis=1)

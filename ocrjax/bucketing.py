@@ -252,22 +252,33 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
         # path — it just rides after the last chunk's compute.
         pcat = (jnp.concatenate([o for _, o in pending])
                 if len(pending) > 1 else pending[0][1])
+        # Truncated-first-fetch (cfg.fetch_max_tokens, mirrors the fused
+        # path): pull only the first T_f token columns per strip; the full
+        # concat stays on device for the rare line longer than T_f chars.
+        from ocrjax.ops.bytepack import truncate_tokens_jit
+        tokT = cfg.rec_max_tokens
+        t_eff = (cfg.fetch_max_tokens
+                 if 0 < cfg.fetch_max_tokens < tokT else tokT)
+        pfetch = (pcat if t_eff == tokT else
+                  truncate_tokens_jit(pcat, 1, tokT, t_eff))
         try:
-            pcat.copy_to_host_async()
+            pfetch.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
     with T.stage("rec_fetch_decode"):
-        phost = np.asarray(pcat)
+        phost = np.asarray(pfetch)
+        if t_eff < tokT and phost[:, t_eff].max(initial=0) > t_eff:
+            phost, t_eff = np.asarray(pcat), tokT  # a line overflowed T_f
         off = 0
         for idx, out in pending:
             rows = phost[off: off + out.shape[0]]
             off += out.shape[0]
             if try_flip:
                 tokens, n_tokens, conf, win = unpack_rec_flip(
-                    rows, cfg.rec_max_tokens)
+                    rows, t_eff)
             else:
                 tokens, n_tokens, conf = unpack_rec(
-                    rows, cfg.rec_max_tokens)
+                    rows, t_eff)
             for k, qi in enumerate(idx):
                 texts[qi] = engine.charset.decode(tokens[k][: n_tokens[k]])
                 confs[qi] = float(conf[k])
@@ -291,7 +302,7 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
     from ocrjax.api import DetBox, OcrLine, OcrResult
     from ocrjax.api_det import (_det_state, _estimate_strip_widths,
                                 _gray_norm_jit, _rec_strips_packed_jit,
-                                unpack_det, unpack_rec)
+                                fetch_det, unpack_rec)
 
     cfg = engine.config
     B = len(images)
@@ -338,10 +349,7 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
         chunk_packed.append(packed)
 
     with T.stage("det_fetch"):
-        boxes, scores, valid = unpack_det(
-            np.concatenate([np.asarray(p) for p in chunk_packed])
-            if len(chunk_packed) > 1 else np.asarray(chunk_packed[0]),
-            cfg.det_max_candidates)
+        boxes, scores, valid = fetch_det(chunk_packed, cfg)
     for i in range(B):
         nh, nw = valid_hw[i]
         cx = boxes[i, :, :, 0].mean(axis=1)

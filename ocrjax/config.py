@@ -214,6 +214,26 @@ class OcrConfig:
                                      # are BITCAST, not quantized — values
                                      # identical, ~3-4x fewer fetch bytes).
                                      # False = legacy all-float32 payloads
+    fetch_max_tokens: int = 48       # truncated-first-fetch of token columns:
+                                     # pull only the first N of rec_max_tokens
+                                     # token columns per line (tokens past
+                                     # n_tokens are padding, and real lines
+                                     # rarely exceed ~40 chars) and refetch
+                                     # the full on-device payload ONLY when a
+                                     # line's n_tokens exceeds N — bit-exact
+                                     # always, ~2.5x fewer fused-payload
+                                     # bytes. 0 = always fetch all columns
+    det_fetch_candidates: int = 64   # truncated-first-fetch of detection
+                                     # candidate slots: extract_boxes fills
+                                     # slots in ascending raster root order
+                                     # (components form a PREFIX), so pulling
+                                     # the first N of det_max_candidates
+                                     # slots + the per-page highest-used-slot
+                                     # scalar is exact whenever the page used
+                                     # ≤ N slots; denser pages refetch the
+                                     # full buffer (kept on device). ~4x
+                                     # fewer det downlink bytes on typical
+                                     # pages. 0 = always fetch all slots
 
     def replace(self, **kw) -> "OcrConfig":
         return dataclasses.replace(self, **kw)

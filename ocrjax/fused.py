@@ -444,26 +444,47 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                     raise
                 outs.append(None)  # retried with halving at fetch time
         chunk_inputs.append((grays, wh))
-    for o in outs:
+    # Truncated-first-fetch (cfg.fetch_max_tokens): pull only the first T_f
+    # token columns per line; the full payload stays on device and is
+    # refetched per chunk only when some line's n_tokens exceeds T_f
+    # (bit-exact either way — sliced columns past n_tokens are CTC padding).
+    from ocrjax.ops.bytepack import truncate_tokens_jit
+    T = cfg.rec_max_tokens
+    T_f = cfg.fetch_max_tokens if 0 < cfg.fetch_max_tokens < T else 0
+    sliced = [o if o is None or not T_f
+              else truncate_tokens_jit(o, lines_per_page, T, T_f)
+              for o in outs]
+    for s in sliced:
         try:
-            o.copy_to_host_async()
+            s.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
+    chunks = []
     with _stage("fused_fetch"):
-        payloads = []
-        for o, (grays, wh) in zip(outs, chunk_inputs):
+        for o, s, (grays, wh) in zip(outs, sliced, chunk_inputs):
+            t_eff = T_f or T
             try:
                 if o is None:
                     raise _FakeOom("RESOURCE_EXHAUSTED (deferred)")
-                payloads.append(np.asarray(o))
+                arr = np.asarray(s)
             except Exception as e:  # noqa: BLE001 — OOM at materialization
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                payloads.append(fetch_halving(grays, wh))
-        payload = (np.concatenate(payloads) if len(payloads) > 1
-                   else payloads[0])
-    out = unpack_fused(payload, lines_per_page, cfg.rec_max_tokens,
-                       try_flip=cfg.rec_try_flip)
+                arr, t_eff = fetch_halving(grays, wh), T
+            c = unpack_fused(arr, lines_per_page, t_eff,
+                             try_flip=cfg.rec_try_flip)
+            if t_eff < T and c["n_tokens"].max(initial=0) > t_eff:
+                c = unpack_fused(np.asarray(o), lines_per_page, T,
+                                 try_flip=cfg.rec_try_flip)
+            chunks.append(c)
+    if len(chunks) == 1:
+        out = chunks[0]
+    else:  # merge chunk dicts; token widths may differ (T_f vs refetched T)
+        tw = max(c["tokens"].shape[2] for c in chunks)
+        out = {k: np.concatenate([
+            np.pad(c[k], ((0, 0), (0, 0), (0, tw - c[k].shape[2])))
+            if k == "tokens" and c[k].shape[2] < tw else c[k]
+            for c in chunks]) for k in chunks[0]}
     tokens = out["tokens"]
     n_tokens = out["n_tokens"]
     conf = out["conf"]

@@ -17,9 +17,28 @@ round-trip is exact for every float32 bit pattern (covered by
 tests/test_bytepack.py, including NaN/inf/denormals).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("K", "T", "T_f"))
+def truncate_tokens_jit(payload, K: int, T: int, T_f: int):
+    """Truncated-first-fetch slice (cfg.fetch_max_tokens): shrink a packed
+    payload's token block from T to T_f columns per line. Works on every
+    payload layout — fused (K lines/page) and pooled-rec (K=1), uint8 and
+    float32 — because they all put the (K*T)-wide token block FIRST and
+    parse the remaining columns independently of T. Tokens past a line's
+    n_tokens are CTC padding, so the slice is lossless whenever every
+    n_tokens ≤ T_f; the n_tokens column rides in the untouched remainder,
+    letting the host detect the rare overflow and refetch the full buffer
+    (which stays on device)."""
+    B = payload.shape[0]
+    tok = payload[:, :K * T].reshape(B, K, T)[:, :, :T_f]
+    return jnp.concatenate(
+        [tok.reshape(B, K * T_f), payload[:, K * T:]], axis=1)
 
 
 def f32_to_bytes(x: jnp.ndarray) -> jnp.ndarray:

@@ -205,13 +205,13 @@ def _fetch_page(engine, dispatched, depth: int = 0):
     """Block on a dispatched page's candidates → (dev_tiles, boxes, scores,
     valid). On device OOM the page's tiles redo in halves (SURVEY.md §5
     failure detection), synchronously."""
-    from ocrjax.api_det import _det_state, unpack_det
+    from ocrjax.api_det import _det_state, fetch_det
 
     fwd, tcfg = _tile_forward(engine)
     st = _det_state(engine)
     dev, packed, tiles = dispatched
     try:
-        out = unpack_det(np.asarray(packed), tcfg.det_max_candidates)
+        out = fetch_det([packed], tcfg)
         return [dev], out[0], out[1], out[2]
     except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
         if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
