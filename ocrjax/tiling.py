@@ -210,8 +210,14 @@ def _fetch_page(engine, dispatched, depth: int = 0):
     fwd, tcfg = _tile_forward(engine)
     st = _det_state(engine)
     dev, packed, tiles = dispatched
+    # engine-scoped saturation latch: dense documents overflow the sliced
+    # det fetch on EVERY page; after the first overflow later pages fetch
+    # full-first (resets when a page's used slots drop under Kf/2)
+    adapt = getattr(engine, "_det_fetch_adapt", None)
+    if adapt is None:
+        adapt = engine._det_fetch_adapt = {}
     try:
-        out = fetch_det([packed], tcfg)
+        out = fetch_det([packed], tcfg, adapt=adapt)
         return [dev], out[0], out[1], out[2]
     except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
         if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \

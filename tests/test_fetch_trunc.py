@@ -53,6 +53,48 @@ def test_truncate_det_prefix_and_n_need():
     np.testing.assert_array_equal(arr[:, Kf * 10], [2.0, 5.0])
 
 
+def test_fetch_det_saturation_latch():
+    """Dense streams flip the adapt latch to full-first fetches after one
+    overflow; a sparse page under Kf/2 used slots resets it. Outputs stay
+    exact in every phase."""
+    from ocrjax.api_det import fetch_det, pack_det, unpack_det
+
+    rng = np.random.RandomState(7)
+    C, Kf = 8, 4
+    cfg = TINY.replace(det_max_candidates=C, det_fetch_candidates=Kf)
+
+    def payload(n_used):
+        v = np.zeros((1, C), bool)
+        v[0, :n_used] = True
+        out = {"boxes": jnp.asarray(rng.randn(1, C, 4, 2)
+                                    .astype(np.float32)),
+               "scores": jnp.asarray(rng.rand(1, C).astype(np.float32)),
+               "valid": jnp.asarray(v)}
+        return pack_det(out)
+
+    adapt = {}
+    dense = payload(6)  # > Kf → overflow
+    got = fetch_det([dense], cfg, adapt=adapt)
+    want = unpack_det(np.asarray(dense), C)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert adapt.get("full") is True
+
+    still = payload(5)  # full-first phase; > Kf/2 keeps the latch on
+    got = fetch_det([still], cfg, adapt=adapt)
+    want = unpack_det(np.asarray(still), C)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert adapt.get("full") is True
+
+    sparse = payload(2)  # ≤ Kf/2 → latch resets
+    got = fetch_det([sparse], cfg, adapt=adapt)
+    want = unpack_det(np.asarray(sparse), C)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert adapt.get("full") is False
+
+
 def _engine(**over) -> OcrEngine:
     cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45, **over)
     return OcrEngine(config=cfg, charset=default_charset(), seed=0)
