@@ -189,6 +189,29 @@ class OcrConfig:
     tile_size: int = 2048            # C5: tiled detection at 2048px
     tile_overlap: int = 128
     tile_merge_iou: float = 0.3
+    tile_pipeline_tiles: int = 4     # target tiles per C5 window when a
+                                     # batch spans multiple pages: smaller
+                                     # windows mean the double-buffered
+                                     # window loop overlaps window k+1's
+                                     # tile detection with window k's
+                                     # pooled recognition (device never
+                                     # idles between phases), at the cost
+                                     # of pooling fewer pages' crops into
+                                     # shared buckets. The HBM cap below
+                                     # still bounds the window; a single
+                                     # page with more tiles than this is
+                                     # its own window. 0 = fill windows to
+                                     # the HBM cap (pre-r4 behavior).
+    tile_window_hbm_mb: int = 1536   # HBM budget (MB) for ONE pooled C5
+                                     # window's live tiles; the window tile
+                                     # cap is derived from this and the
+                                     # per-tile footprint (normalized f32
+                                     # copy + packed upload + det-forward
+                                     # transient — see tiling.max_pool_
+                                     # tiles). Two windows are live at once
+                                     # under detection double-buffering, so
+                                     # size this at ≤ half the HBM you can
+                                     # spare beyond params + rec pools.
     tile_max_candidates: int = 384   # per-TILE candidate cap for the C5
                                      # path: a dense 2048px tile holds 250+
                                      # short lines (BASELINE.json:11

@@ -11,6 +11,7 @@ IoU/adjacency union on host.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -20,8 +21,51 @@ import numpy as np
 from ocrjax import geometry, preprocess
 
 
+@functools.partial(jax.jit, static_argnames=("T",))
+def _pad_tiles_jit(x, T: int):
+    """(n, th, tw) → (n, T, T), zero-padded bottom/right (never sampled:
+    the pooled warp clamps to per-tile bounds)."""
+    return jnp.pad(x, ((0, 0), (0, T - x.shape[1]), (0, T - x.shape[2])))
+
+
+def axis_plan(total: int, tile: int, overlap: int, quantum: int
+              ) -> List[Tuple[int, int]]:
+    """(start, size) intervals covering [0, total) with ≥`overlap` overlap.
+
+    Full-size tiles march at stride tile−overlap; the REMAINDER is covered
+    by a final tile whose size is `total−covered+overlap` rounded UP to a
+    multiple of `quantum` (≤ tile), anchored at the end. The classic
+    square grid instead appends a FULL tile at total−tile, which for a
+    3072-row page at tile 2048 recomputes 1024 redundant rows per column —
+    33% of the page's det FLOPs (measured: the DB forward at 2048² is 195
+    of the 482 ms steady dense window). Quantizing remainder sizes bounds
+    the number of XLA program shapes to ≤ tile/quantum per axis, and in
+    practice the pages of one document share one shape set."""
+    if total <= tile:
+        size = min(tile, -(-total // quantum) * quantum)
+        return [(0, size)]
+    stride = max(tile - overlap, 1)
+    starts = list(range(0, total - tile, stride))   # ≥ [0] since total > tile
+    rem = total - (starts[-1] + tile) + overlap     # > overlap by construction
+    size = min(tile, -(-rem // quantum) * quantum)
+    return [(s, tile) for s in starts] + [(total - size, size)]
+
+
+def tile_plan(h: int, w: int, cfg) -> List[Tuple[int, int, int, int]]:
+    """(y, x, th, tw) tiles covering (h, w), same-shape tiles contiguous
+    (sorted by shape) so each shape group uploads + runs as one batch."""
+    q = max(cfg.tile_size // 8, 32)
+    ys = axis_plan(h, cfg.tile_size, cfg.tile_overlap, q)
+    xs = axis_plan(w, cfg.tile_size, cfg.tile_overlap, q)
+    corners = [(y, x, th, tw) for (y, th) in ys for (x, tw) in xs]
+    corners.sort(key=lambda c: (c[2], c[3], c[0], c[1]))
+    return corners
+
+
 def tile_grid(h: int, w: int, tile: int, overlap: int) -> List[Tuple[int, int]]:
-    """Top-left corners of overlapping tiles covering (h, w)."""
+    """Top-left corners of a SQUARE overlapping grid covering (h, w).
+    Kept for the uniform-tile case / tests; production planning is
+    tile_plan (heterogeneous remainder tiles)."""
     stride = max(tile - overlap, 1)
 
     def starts(total):
@@ -34,19 +78,19 @@ def tile_grid(h: int, w: int, tile: int, overlap: int) -> List[Tuple[int, int]]:
     return [(y, x) for y in starts(h) for x in starts(w)]
 
 
-def _seam_bands(corners: List[Tuple[int, int]], tile: int):
+def _seam_bands(corners: List[Tuple[int, int, int, int]]):
     """X- and Y-intervals covered by tile overlaps (the seam regions)."""
-    xs = sorted({x for (_, x) in corners})
-    ys = sorted({y for (y, _) in corners})
 
-    def bands(starts):
+    def bands(ivals):
+        ivals = sorted(set(ivals))
         out = []
-        for a, b in zip(starts, starts[1:]):
-            if b < a + tile:                      # overlapping neighbors
-                out.append((b, a + tile))
+        for (a0, a1), (b0, b1) in zip(ivals, ivals[1:]):
+            if b0 < a1:                           # overlapping neighbors
+                out.append((b0, min(a1, b1)))
         return out
 
-    return bands(xs), bands(ys)
+    return (bands([(x, x + tw) for (_, x, _, tw) in corners]),
+            bands([(y, y + th) for (y, _, th, _) in corners]))
 
 
 def _merge_seam_boxes(quads: List[np.ndarray], scores: List[float],
@@ -163,9 +207,12 @@ def _tile_forward(engine):
 
 
 def _prep_page(engine, img: np.ndarray):
-    """Host-side tile plan: (corners, tiles u8 (n, T, T)).
+    """Host-side tile plan: (corners, shape groups).
 
-    Pads the page so every tile is full-size (fixed shapes); luma tiles —
+    corners: list of (y, x, th, tw) in shape-group order (tile_plan).
+    groups: list of (n_g, th, tw) u8 luma stacks, one per distinct tile
+    shape, concatenation aligned with corners. Heterogeneous remainder
+    tiles (axis_plan) cut the redundant-overlap det compute; luma tiles —
     single-channel uploads (see det_normalize_gray). REPLICATE padding:
     zero padding puts a hard white→black edge at the page border, which
     the detector reads as a text-like stroke (measured: a tall spurious
@@ -175,19 +222,28 @@ def _prep_page(engine, img: np.ndarray):
     """
     cfg = engine.config
     h, w = img.shape[:2]
-    T = cfg.tile_size
-    corners = tile_grid(h, w, T, cfg.tile_overlap)
+    corners = tile_plan(h, w, cfg)
     gray = preprocess.to_gray(img)
-    ph, pw = max(h, T), max(w, T)
+    ph = max(h, max(y + th for (y, _, th, _) in corners))
+    pw = max(w, max(x + tw for (_, x, _, tw) in corners))
     padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
-    tiles = np.stack([padded[y:y + T, x:x + T] for (y, x) in corners])
-    return corners, tiles
+    groups = []
+    k = 0
+    while k < len(corners):
+        th, tw = corners[k][2], corners[k][3]
+        j = k
+        while j < len(corners) and corners[j][2:] == (th, tw):
+            j += 1
+        groups.append(np.stack([padded[y:y + th, x:x + tw]
+                                for (y, x, _, _) in corners[k:j]]))
+        k = j
+    return corners, groups
 
 
-def _dispatch_page(engine, tiles: np.ndarray):
-    """Upload a page's tiles and launch the detection program WITHOUT
-    reading the result (dispatch ahead, fetch late — DESIGN.md §2):
-    returns (dev, packed, tiles) for _fetch_page."""
+def _dispatch_group(engine, tiles: np.ndarray):
+    """Upload one shape group's tiles and launch the detection program
+    WITHOUT reading the result (dispatch ahead, fetch late — DESIGN.md
+    §2): returns (dev, packed, tiles) for _fetch_page."""
     from ocrjax.api_det import _det_state
 
     fwd, _ = _tile_forward(engine)
@@ -201,18 +257,20 @@ def _dispatch_page(engine, tiles: np.ndarray):
     return dev, packed, tiles
 
 
-def _fetch_page(engine, dispatched, depth: int = 0):
-    """Block on a dispatched page's candidates → (dev_tiles, boxes, scores,
-    valid). On device OOM the page's tiles redo in halves (SURVEY.md §5
-    failure detection), synchronously."""
-    from ocrjax.api_det import _det_state, fetch_det
+def _dispatch_page(engine, groups) -> list:
+    """Dispatch every shape group of a page; returns the group list for
+    _fetch_page."""
+    return [_dispatch_group(engine, tiles) for tiles in groups]
 
-    fwd, tcfg = _tile_forward(engine)
-    st = _det_state(engine)
+
+def _fetch_group(engine, dispatched, depth: int = 0):
+    """Block on one dispatched group's candidates → (devs, boxes, scores,
+    valid). On device OOM the group's tiles redo in halves (SURVEY.md §5
+    failure detection), synchronously."""
+    from ocrjax.api_det import fetch_det
+
+    _, tcfg = _tile_forward(engine)
     dev, packed, tiles = dispatched
-    # engine-scoped saturation latch: dense documents overflow the sliced
-    # det fetch on EVERY page; after the first overflow later pages fetch
-    # full-first (resets when a page's used slots drop under Kf/2)
     adapt = getattr(engine, "_det_fetch_adapt", None)
     if adapt is None:
         adapt = engine._det_fetch_adapt = {}
@@ -229,14 +287,33 @@ def _fetch_page(engine, dispatched, depth: int = 0):
                    tiles=len(tiles), depth=depth)
         del dev, packed
         mid = len(tiles) // 2
-        parts = [_fetch_page(engine, _dispatch_page(engine, tiles[:mid]),
-                             depth + 1),
-                 _fetch_page(engine, _dispatch_page(engine, tiles[mid:]),
-                             depth + 1)]
+        parts = [_fetch_group(engine, _dispatch_group(engine, tiles[:mid]),
+                              depth + 1),
+                 _fetch_group(engine, _dispatch_group(engine, tiles[mid:]),
+                              depth + 1)]
         return (parts[0][0] + parts[1][0],
                 np.concatenate([parts[0][1], parts[1][1]]),
                 np.concatenate([parts[0][2], parts[1][2]]),
                 np.concatenate([parts[0][3], parts[1][3]]))
+
+
+def _fetch_page(engine, dispatched):
+    """Block on a dispatched page (all shape groups) → (dev_tiles, boxes,
+    scores, valid), row order aligned with the page's corners. The common
+    path fetches every group's packed payload through ONE fetch_det call
+    per group (each is already async-copying); OOM halving is group-local
+    (_fetch_group)."""
+    devs, bs, ss, vs = [], [], [], []
+    for d in dispatched:
+        dv, b, s, v = _fetch_group(engine, d)
+        devs.extend(dv)
+        bs.append(b)
+        ss.append(s)
+        vs.append(v)
+    if len(bs) == 1:
+        return devs, bs[0], ss[0], vs[0]
+    return (devs, np.concatenate(bs), np.concatenate(ss),
+            np.concatenate(vs))
 
 
 def _merge_page(engine, corners, boxes, scores, valid, h, w):
@@ -257,7 +334,7 @@ def _merge_page(engine, corners, boxes, scores, valid, h, w):
                    cap=tcfg.det_max_candidates, tiles=len(corners))
 
     quads, ss, tids = [], [], []
-    for t, (y, x) in enumerate(corners):
+    for t, (y, x, _, _) in enumerate(corners):
         for i in np.where(valid[t])[0]:
             q = boxes[t, i] + np.array([x, y], np.float32)
             # clip to the real (unpadded) page
@@ -267,7 +344,7 @@ def _merge_page(engine, corners, boxes, scores, valid, h, w):
             ss.append(float(scores[t, i]))
             tids.append(t)
 
-    x_bands, _ = _seam_bands(corners, cfg.tile_size)
+    x_bands, _ = _seam_bands(corners)
     merged = _merge_seam_boxes(quads, ss, cfg.tile_merge_iou, x_bands,
                                tile_ids=tids)
     return merged, saturated
@@ -282,9 +359,9 @@ def _run_tiles(engine, img: np.ndarray):
     in the original image frame.
     """
     h, w = img.shape[:2]
-    corners, tiles = _prep_page(engine, img)
+    corners, groups = _prep_page(engine, img)
     dev_tiles, boxes, scores, valid = _fetch_page(
-        engine, _dispatch_page(engine, tiles))
+        engine, _dispatch_page(engine, groups))
     merged, saturated = _merge_page(engine, corners, boxes, scores, valid,
                                     h, w)
     return corners, dev_tiles, merged, saturated
@@ -310,7 +387,6 @@ def _assign_quads_to_tiles(cfg, corners, quads, h, w):
     crop. Returns (tile_ids, tile_quads, tile_bounds, pooled_idx, host_idx):
     quads no tile fully contains (lines longer than tile_size − 2·overlap)
     go to host_idx for full-res host crops."""
-    T = cfg.tile_size
     tile_ids, tile_quads, tile_bounds = [], [], []
     pooled_idx, host_idx = [], []
     for qi, q in enumerate(quads):
@@ -323,22 +399,22 @@ def _assign_quads_to_tiles(cfg, corners, quads, h, w):
         cx0, cy0 = max(x0, 0.0), max(y0, 0.0)
         cx1, cy1 = min(x1, w - 1.0), min(y1, h - 1.0)
         best = None
-        for t, (ty, tx) in enumerate(corners):
-            if cx0 >= tx and cy0 >= ty and cx1 < tx + T and cy1 < ty + T:
+        for t, (ty, tx, th, tw) in enumerate(corners):
+            if cx0 >= tx and cy0 >= ty and cx1 < tx + tw and cy1 < ty + th:
                 # prefer the tile whose center is closest to the quad's
-                c = abs(tx + T / 2 - (x0 + x1) / 2) \
-                    + abs(ty + T / 2 - (y0 + y1) / 2)
+                c = abs(tx + tw / 2 - (x0 + x1) / 2) \
+                    + abs(ty + th / 2 - (y0 + y1) / 2)
                 if best is None or c < best[1]:
                     best = (t, c)
         if best is None:
             host_idx.append(qi)
             continue
         t = best[0]
-        ty, tx = corners[t]
+        ty, tx, th, tw = corners[t]
         pooled_idx.append(qi)
         tile_ids.append(t)
         tile_quads.append(q - np.array([tx, ty], np.float32))
-        tile_bounds.append([min(T, w - tx) - 1.0, min(T, h - ty) - 1.0])
+        tile_bounds.append([min(tw, w - tx) - 1.0, min(th, h - ty) - 1.0])
     return tile_ids, tile_quads, tile_bounds, pooled_idx, host_idx
 
 
@@ -368,25 +444,39 @@ def _host_fallback_strips(engine, img, quads, host_idx):
     return strips
 
 
-# Pooled-recognition window bound: tiles held live (packed upload + one
-# normalized float copy each) across the pages of one window. 16 tiles of
-# 2048² float32 ≈ 256 MB — comfortable HBM headroom on a v5e while still
-# pooling several pages' recognition into shared width buckets.
-_MAX_POOL_TILES = 16
+def max_pool_tiles(cfg) -> int:
+    """Window tile cap from the HBM budget (cfg.tile_window_hbm_mb).
+
+    Per-tile live footprint while a window is pooled: the normalized
+    float32 copy (T²·4 B) + the packed luma upload (T²·bits/8 B) + the
+    det-forward transient share (prob map f32 + the NHWC bf16 feature
+    pyramid, ~12 B/px at stride-1 head). At T=2048/4-bit upload that is
+    ~66 MB/tile → the default 1536 MB budget admits 23 tiles/window
+    (the old fixed cap was 16). Detection double-buffering keeps two
+    windows live at once; the budget is per window.
+    """
+    bytes_per_tile = cfg.tile_size * cfg.tile_size * (
+        4.0 + cfg.upload_bits / 8.0 + 12.0)
+    return max(2, int(cfg.tile_window_hbm_mb * 2**20 / bytes_per_tile))
 
 
 def ocr_tiled_batch(engine, images, beam: bool = False,
                     _allow_rot90: bool = True) -> List["OcrResult"]:
     """Multi-page C5 driver: pooled tiled OCR with per-page isolation.
 
-    Pages stream through in windows bounded by _MAX_POOL_TILES: within a
-    window every page's tile detection is dispatched before any result is
-    read (upload of page k+1 rides the link while page k computes), and
+    Pages stream through in windows bounded by max_pool_tiles(cfg): within
+    a window every page's tile detection is dispatched before any result
+    is read (upload of page k+1 rides the link while page k computes), and
     recognition pools ALL the window's line crops across pages into shared
     width buckets — the same cross-page pooling bucketing.ocr_pages does
     for C4, so an N-page document no longer pays N serial per-page
-    pipelines (VERDICT r2 weak #5). A failed page decode yields an empty
-    result without failing the batch (SURVEY.md §5).
+    pipelines (VERDICT r2 weak #5). Windows are DOUBLE-BUFFERED: window
+    k+1's tile uploads + DB forwards are dispatched before window k's
+    candidates are fetched, so the device runs detection of the next
+    window while the host seam-merges, assigns and decodes the current
+    one (VERDICT r3 weak #1 — the phases were serial per window). A
+    failed page decode yields an empty result without failing the batch
+    (SURVEY.md §5).
     """
     from ocrjax import bucketing
     from ocrjax.api import DetBox, OcrLine, OcrResult
@@ -395,42 +485,132 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
     cfg = engine.config
     B = len(images)
     results: List = [None] * B
+    timer = getattr(engine, "stage_timer", None)
+    T = timer if timer is not None else bucketing._NullStage()
 
-    # ---- windowing by tile budget (decode + plan is cheap host work) ------
-    pages = []   # (i, img, corners, tiles)
-    for i, image in enumerate(images):
+    # ---- streaming windows: page i+1's decode + tile plan runs on the
+    # prefetch thread while page i uploads/dispatches, so only the FIRST
+    # page's host prep sits on the critical path (measured 95 ms of the
+    # 482 ms steady dense window when it was a serial upfront loop).
+    # Window budget: the HBM cap, tightened to tile_pipeline_tiles for
+    # multi-page batches so the double-buffer below has ≥2 windows to
+    # overlap. -----------------------------------------------------------
+    from ocrjax.fused import _get_prefetch_pool
+
+    cap = max_pool_tiles(cfg)
+    if B > 1 and cfg.tile_pipeline_tiles > 0:
+        cap = min(cap, cfg.tile_pipeline_tiles)
+
+    def _prep(i):
         try:
             img = preprocess.load_image(
-                image, auto_invert=cfg.auto_invert)
+                images[i], auto_invert=cfg.auto_invert)
             corners, tiles = _prep_page(engine, img)
+            return (i, img, corners, tiles)
         except (FileNotFoundError, ValueError, OSError):
-            results[i] = OcrResult(lines=[])
-            continue
-        pages.append((i, img, corners, tiles))
+            return (i, None, None, None)
+
+    def _iter_windows():
+        pool = _get_prefetch_pool()
+        fut = pool.submit(_prep, 0) if B else None
+        window, budget = [], 0
+        for i in range(B):
+            with T.stage("tile_prep"):
+                page = fut.result()
+            fut = pool.submit(_prep, i + 1) if i + 1 < B else None
+            if page[1] is None:
+                results[page[0]] = OcrResult(lines=[])
+                continue
+            # heterogeneous tiles: budget in full-tile equivalents (px/T²)
+            n_tiles = sum(g.shape[0] * g.shape[1] * g.shape[2]
+                          for g in page[3]) / float(cfg.tile_size ** 2)
+            if window and budget + n_tiles > cap:
+                yield window
+                window, budget = [], 0
+            window.append(page)
+            budget += n_tiles
+        if window:
+            yield window
+
+    def _dispatch_window(window):
+        """Batch same-shape tiles ACROSS the window's pages into one
+        dispatch per shape: the v5e det forward at batch 1 measured ~1.7x
+        worse per pixel than batch ≥2, and every extra fetch costs a full
+        link RTT (~25 ms on this tunnel). Returns a list of
+        (spans, dispatched) where spans = [(page_pos, n_tiles), ...] in
+        concat order; shape groups are sorted by (th, tw) — the same order
+        tile_plan sorts a page's corners — so per-page rows concatenate
+        back into corner order."""
+        with T.stage("tile_det_dispatch"):
+            by_shape = {}
+            for pi, (_, _, _, groups) in enumerate(window):
+                for g in groups:
+                    by_shape.setdefault(g.shape[1:], []).append((pi, g))
+            disp = []
+            for sh in sorted(by_shape):
+                items = by_shape[sh]
+                tiles = (np.concatenate([g for _, g in items])
+                         if len(items) > 1 else items[0][1])
+                spans = [(pi, len(g)) for pi, g in items]
+                disp.append((spans, _dispatch_group(engine, tiles)))
+            return disp
+
+    def _fetch_window(window, disp):
+        """Fetch all shape groups (one RTT each, halving on OOM), scatter
+        rows back per page in corner order, and compute each tile's global
+        row in the window's pooled (padded) tile stack.
+
+        Returns (per_page, devs): per_page[pi] = (boxes, scores, valid,
+        rows) aligned with window[pi]'s corners; devs = packed device
+        uploads in group order (phase 3 normalizes + pads + concats these
+        into the pooled recognition stack, whose row order is exactly the
+        fetch order here)."""
+        n_pages = len(window)
+        parts = [[] for _ in range(n_pages)]   # (boxes, scores, valid)
+        rows = [[] for _ in range(n_pages)]
+        devs = []
+        row_off = 0
+        for spans, d in disp:
+            with T.stage("tile_det_fetch"):
+                dv, b, s, v = _fetch_group(engine, d)
+            devs.extend(dv)
+            off = 0
+            for pi, n in spans:
+                parts[pi].append((b[off:off + n], s[off:off + n],
+                                  v[off:off + n]))
+                rows[pi].extend(range(row_off + off, row_off + off + n))
+                off += n
+            row_off += off
+        per_page = []
+        for pi in range(n_pages):
+            bs, ss, vs = zip(*parts[pi])
+            per_page.append((
+                np.concatenate(bs) if len(bs) > 1 else bs[0],
+                np.concatenate(ss) if len(ss) > 1 else ss[0],
+                np.concatenate(vs) if len(vs) > 1 else vs[0],
+                rows[pi]))
+        return per_page, devs
 
     rot90_pages = []  # (i, img)
-    wi = 0
-    while wi < len(pages):
-        window = []
-        budget = 0
-        while wi < len(pages):
-            n_tiles = len(pages[wi][3])
-            if window and budget + n_tiles > _MAX_POOL_TILES:
-                break
-            window.append(pages[wi])
-            budget += n_tiles
-            wi += 1
+    win_it = _iter_windows()
+    w_cur = next(win_it, None)
+    disp = _dispatch_window(w_cur) if w_cur is not None else None
+    while w_cur is not None:
+        window, d_cur = w_cur, disp
+        # dispatch the NEXT window's detection before touching this one's
+        # results: det(k+1) fills the device while the host works on k
+        w_cur = next(win_it, None)
+        disp = _dispatch_window(w_cur) if w_cur is not None else None
 
-        # -- phase 1: dispatch every page's detection ahead ----------------
-        disp = [(_dispatch_page(engine, tiles)) for (_, _, _, tiles)
-                in window]
-        # -- phase 2: fetch + seam merge per page ---------------------------
+        # -- phase 2: window fetch, then seam merge per page ----------------
+        per_page, dev_groups = _fetch_window(window, d_cur)
         win = []   # per-page dicts for the recognition pool
-        for (i, img, corners, _), d in zip(window, disp):
+        for (i, img, corners, _), (boxes, scores, valid, rows) in zip(
+                window, per_page):
             h, w = img.shape[:2]
-            dev_tiles, boxes, scores, valid = _fetch_page(engine, d)
-            (quads, ss), saturated = _merge_page(
-                engine, corners, boxes, scores, valid, h, w)
+            with T.stage("tile_seam_merge"):
+                (quads, ss), saturated = _merge_page(
+                    engine, corners, boxes, scores, valid, h, w)
             if not quads:
                 results[i] = OcrResult(lines=[], truncated=saturated)
                 continue
@@ -442,36 +622,43 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
                         np.asarray(quads)))) > cfg.rot90_tilt_deg):
                 rot90_pages.append((i, img))
                 continue
-            win.append(dict(i=i, img=img, corners=corners,
-                            dev_tiles=dev_tiles, quads=quads, ss=ss,
-                            saturated=saturated))
+            win.append(dict(i=i, img=img, corners=corners, rows=rows,
+                            quads=quads, ss=ss, saturated=saturated))
 
         if not win:
             continue
 
         # -- phase 3: one pooled recognition across the window --------------
-        g_tids, g_tquads, g_tbounds, g_prior = [], [], [], []
-        pooled_refs = []   # (page dict, qi) aligned with the pooled rows
-        normed = []
-        row_off = 0
-        for p in win:
-            h, w = p["img"].shape[:2]
-            tids, tquads, tbounds, pooled_idx, host_idx = \
-                _assign_quads_to_tiles(cfg, p["corners"], p["quads"], h, w)
-            p["host_idx"] = host_idx
-            p["texts"] = [None] * len(p["quads"])
-            p["confs"] = [0.0] * len(p["quads"])
-            p["flipped"] = [False] * len(p["quads"])
-            for k, qi in enumerate(pooled_idx):
-                g_tids.append(row_off + tids[k])
-                g_tquads.append(tquads[k])
-                g_tbounds.append(tbounds[k])
-                g_prior.append(p["i"])
-                pooled_refs.append((p, qi))
-            for d in p["dev_tiles"]:
-                normed.append(_gray_norm_jit(
-                    d, cfg.upload_bits, cfg.rec_mean, cfg.rec_std))
-                row_off += int(normed[-1].shape[0])
+        with T.stage("tile_assign"):
+            g_tids, g_tquads, g_tbounds, g_prior = [], [], [], []
+            pooled_refs = []  # (page dict, qi) aligned with the pooled rows
+            for p in win:
+                h, w = p["img"].shape[:2]
+                tids, tquads, tbounds, pooled_idx, host_idx = \
+                    _assign_quads_to_tiles(
+                        cfg, p["corners"], p["quads"], h, w)
+                p["host_idx"] = host_idx
+                p["texts"] = [None] * len(p["quads"])
+                p["confs"] = [0.0] * len(p["quads"])
+                p["flipped"] = [False] * len(p["quads"])
+                for k, qi in enumerate(pooled_idx):
+                    g_tids.append(p["rows"][tids[k]])
+                    g_tquads.append(tquads[k])
+                    g_tbounds.append(tbounds[k])
+                    g_prior.append(p["i"])
+                    pooled_refs.append((p, qi))
+            normed = []
+            for d in dev_groups:
+                g = _gray_norm_jit(
+                    d, cfg.upload_bits, cfg.rec_mean, cfg.rec_std)
+                # pad heterogeneous (remainder) tiles up to (T, T) so
+                # the window's tiles stack into ONE pooled page array;
+                # per-quad bounds (tile_bounds) keep the warp's
+                # samples inside the real tile, so pad content is
+                # never read. No-op (and no copy) for full tiles.
+                if g.shape[1:] != (cfg.tile_size, cfg.tile_size):
+                    g = _pad_tiles_jit(g, cfg.tile_size)
+                normed.append(g)
 
         if pooled_refs:
             gray_dev = (jnp.concatenate(normed, axis=0) if len(normed) > 1
@@ -481,7 +668,7 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
                 np.asarray(g_tids, np.int32),
                 np.asarray(g_tquads, np.float32),
                 np.asarray(g_tbounds, np.float32)[:, None, :],
-                beam=beam, timer=getattr(engine, "stage_timer", None),
+                beam=beam, timer=timer,
                 # tiles of one document share one orientation-prior group
                 prior_ids=np.asarray(g_prior, np.int32))
             for k, (p, qi) in enumerate(pooled_refs):
@@ -492,23 +679,25 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
         # -- phase 4: host-fallback crops + per-page assembly ----------------
         for p in win:
             if p["host_idx"]:
-                strips = _host_fallback_strips(
-                    engine, p["img"], p["quads"], p["host_idx"])
-                rs = engine.recognize_strips(strips, beam=beam,
-                                             same_page=True)
-                for k, qi in enumerate(p["host_idx"]):
-                    p["texts"][qi] = rs[k].text
-                    p["confs"][qi] = rs[k].confidence
-                    p["flipped"][qi] = rs[k].flipped
-            quads, ss = p["quads"], p["ss"]
-            if sum(p["flipped"]) * 2 > len(quads):  # upside-down document
-                order = geometry.sort_reading_order([-q for q in quads])
-            else:
-                order = geometry.sort_reading_order(quads)
-            results[p["i"]] = OcrResult(lines=[
-                OcrLine(box=DetBox(quads[k], ss[k]), text=p["texts"][k],
-                        confidence=p["confs"][k])
-                for k in order], truncated=p["saturated"])
+                with T.stage("tile_host_fallback"):
+                    strips = _host_fallback_strips(
+                        engine, p["img"], p["quads"], p["host_idx"])
+                    rs = engine.recognize_strips(strips, beam=beam,
+                                                 same_page=True)
+                    for k, qi in enumerate(p["host_idx"]):
+                        p["texts"][qi] = rs[k].text
+                        p["confs"][qi] = rs[k].confidence
+                        p["flipped"][qi] = rs[k].flipped
+            with T.stage("tile_assembly"):
+                quads, ss = p["quads"], p["ss"]
+                if sum(p["flipped"]) * 2 > len(quads):  # upside-down doc
+                    order = geometry.sort_reading_order([-q for q in quads])
+                else:
+                    order = geometry.sort_reading_order(quads)
+                results[p["i"]] = OcrResult(lines=[
+                    OcrLine(box=DetBox(quads[k], ss[k]), text=p["texts"][k],
+                            confidence=p["confs"][k])
+                    for k in order], truncated=p["saturated"])
 
     # ---- rot90 redo: ONE recursive batched call for all landscape pages ---
     if rot90_pages:
