@@ -107,30 +107,15 @@ def shard_params(mesh: Mesh, variables: Any) -> Any:
 # ---------------------------------------------------------------------------
 
 def make_sharded_rec_train_step(model, tx, mesh: Mesh):
-    """Rec train step jit'd over the mesh: dp-sharded batch, tp-sharded
-    projection. Identical math to ocrjax.train.rec_trainer.make_train_step —
-    GSPMD handles the cross-device reductions."""
-    from ocrjax import preprocess
-    from ocrjax.ops import ctc
-
-    def loss_fn(params, batch_stats, images, widths, labels, label_lengths):
-        x = preprocess.rec_normalize(images)
-        (logits, frame_lengths), updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x, widths, train=True, mutable=["batch_stats"])
-        loss = ctc.ctc_loss(logits, frame_lengths, labels, label_lengths)
-        return loss, updates["batch_stats"]
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, batch_stats, opt_state,
-             images, widths, labels, label_lengths):
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, images, widths, labels, label_lengths)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_bs, opt_state, loss
-
-    return step
+    """THE production rec train step (train.rec_trainer.make_train_step —
+    not a copy) jit'd for the mesh: dp-sharded batch, tp-sharded params
+    (shard_params), GSPMD inserting the cross-device reductions from the
+    input shardings. The mesh argument documents intent; sharding comes
+    from the operands (shard_batch / shard_params), which is what lets the
+    SAME jitted step serve single-device training unchanged."""
+    del mesh  # sharding flows from the operands (GSPMD)
+    from ocrjax.train.rec_trainer import make_train_step
+    return make_train_step(model, tx, donate=True)
 
 
 def init_sharded_rec_state(config, charset, mesh: Mesh, width: int = 64,

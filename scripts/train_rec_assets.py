@@ -97,6 +97,12 @@ def main():
                     help="render PAGES pages, run the real detection+refined"
                          "-warp path, and mix the resulting gt-labeled crops "
                          "into training 50/50 (serving-distribution data)")
+    ap.add_argument("--mesh", default=None, metavar="DP[,TP]",
+                    help="train the SAME step dp(+tp)-sharded over a device "
+                         "mesh (parallel.mesh): '8' = 8-way data parallel, "
+                         "'4,2' = dp=4 x tp=2. Requires dp*tp devices "
+                         "(virtual CPU devices work via "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count)")
     args = ap.parse_args()
 
     import jax
@@ -175,9 +181,20 @@ def main():
         print(f"det crops: {det_crops.images.shape[0]} strips from "
               f"{args.mix_det_crops} pages", flush=True)
 
+    mesh = None
+    if args.mesh:
+        from ocrjax.parallel import mesh as M
+        parts = [int(v) for v in args.mesh.split(",")]
+        n_dp, n_tp = (parts + [1])[:2]
+        mesh = M.make_mesh(n_dp=n_dp, n_tp=n_tp)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
+        if args.batch % n_dp:
+            raise SystemExit(f"--batch {args.batch} must divide dp={n_dp}")
+
     result = train_rec(
         config=config, charset=charset, steps=args.steps,
         batch_size=args.batch, width=args.width, lr=args.lr,
+        mesh=mesh,
         seed=args.seed, max_len=args.max_len,
         log=lambda m: print(m, flush=True),
         init_variables=init_variables,
