@@ -322,7 +322,8 @@ def ocr(engine, image, beam: bool = False,
             margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
             x_margin_keep=cfg.rec_ink_x_margin_keep,
             pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
-            orig_quads=jnp.asarray(quads_orig_canvas))
+            orig_quads=jnp.asarray(quads_orig_canvas),
+            flat_frac=cfg.rec_flat_band_frac)
     else:
         strips, widths = warp_quads(
             gray, jnp.asarray(quads_canvas),
@@ -605,7 +606,7 @@ def unpack_rec_flip(packed: np.ndarray, max_tokens: int):
 def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                    ink_thresh: int = 128, min_count: int = 2,
                    margin_left_px: float = 0.0, margin_right_px: float = 0.0,
-                   x_margin_keep: float = 1.0):
+                   x_margin_keep: float = 1.0, flat_frac: float = 0.0):
     """Host mirror of ops.warp.ink_boxes for full-res original-image crops:
     tighten an (expanded) crop window to the ink band through its vertical
     center, with pads matching the on-device refinement (~2-3 px at the
@@ -653,6 +654,36 @@ def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     band_h = b - a + 1
     pad_y = max(1, round(band_h * 2 / 28))
     pad_x = max(1, round(band_h * 3 / 28))
+    if flat_frac > 0.0:
+        # host mirror of ops.warp.ink_boxes' flat-band rescale: per-glyph
+        # (blank-column-segmented) top/bottom uniformity → render the band
+        # at flat_frac of the strip instead of full height. The host crop
+        # pads with true background (255) so the glyph stays centered even
+        # at image edges.
+        band_ink = ink[a:b + 1]
+        col_top = np.where(cols, band_ink.argmax(axis=0), band_h)
+        col_bot = np.where(cols, band_h - 1
+                           - band_ink[::-1].argmax(axis=0), -1)
+        breaks = np.flatnonzero(cols & ~np.concatenate([[False], cols[:-1]]))
+        seg = np.cumsum(cols & ~np.concatenate([[False], cols[:-1]])) - 1
+        gtop = [col_top[(seg == g) & cols].min() for g in range(len(breaks))]
+        gbot = [col_bot[(seg == g) & cols].max() for g in range(len(breaks))]
+        tol = max(2.0, 0.18 * band_h)
+        if gtop and len(gtop) <= 3 \
+                and (max(gtop) - min(gtop)) <= tol \
+                and (max(gbot) - min(gbot)) <= tol:
+            half = int(round(band_h / (2.0 * flat_frac)))
+            yc = (a + b) // 2
+            ca, cb = yc - half, yc + half
+            out = np.full((cb - ca + 1,
+                           int(xs.max()) - int(xs.min()) + 1 + 2 * pad_x),
+                          255, crop.dtype)
+            sa, sb = max(0, ca), min(crop.shape[0] - 1, cb)
+            sx0 = max(0, int(xs.min()) - pad_x)
+            sx1 = min(crop.shape[1], int(xs.max()) + 1 + pad_x)
+            out[sa - ca:sa - ca + (sb - sa + 1),
+                0:sx1 - sx0] = crop[sa:sb + 1, sx0:sx1]
+            return out
     return crop[max(0, a - pad_y):b + 1 + pad_y,
                 max(0, int(xs.min()) - pad_x):int(xs.max()) + 1 + pad_x]
 
@@ -683,7 +714,8 @@ def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
             gray, x0, y0, x1, y1,
             margin_left_px=max(0.0, q[:, 0].min() - x0),
             margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
-            x_margin_keep=cfg.rec_ink_x_margin_keep)
+            x_margin_keep=cfg.rec_ink_x_margin_keep,
+            flat_frac=cfg.rec_flat_band_frac)
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))
     if not strips:

@@ -221,7 +221,8 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
                     margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
                     x_margin_keep=cfg.rec_ink_x_margin_keep,
                     pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
-                    orig_quads=jnp.asarray(oq), **kw)
+                    orig_quads=jnp.asarray(oq),
+                    flat_frac=cfg.rec_flat_band_frac, **kw)
             elif sep:
                 strips, widths = warp_quads_multi_separable(
                     gray_dev, jnp.asarray(page_ids[sel]),

@@ -81,6 +81,25 @@ class OcrConfig:
     rec_crop_margin: float = 0.15    # pre-snap quad expansion, fraction of
                                      # line height on every side (recovers
                                      # glyphs the detector's box clipped)
+    rec_flat_band_frac: float = 0.0  # flat-band (x-height-aware) rescale:
+                                     # when a strip's ink band has a FLAT
+                                     # top and bottom profile (no ascender/
+                                     # descender structure — 1-3 glyph
+                                     # strips of uniform-height glyphs,
+                                     # the measured dominant error class),
+                                     # the refined crop is expanded so the
+                                     # band renders at this fraction of
+                                     # the strip height instead of full
+                                     # height. Training strips render ink
+                                     # centered at font-proportional size
+                                     # (x-height ≈ 0.40·H, caps ≈ 0.52·H,
+                                     # full lines ≈ 0.72·H — synth.render_
+                                     # line), so the full-height rescale
+                                     # is out-of-distribution for flat
+                                     # bands and erases the x-height size
+                                     # cue (x→X, DESIGN.md §4e). ~0.46
+                                     # lands both glyph classes near their
+                                     # training sizes. 0 disables.
     rec_ink_x_margin_keep: float = 0.5  # fraction of the x expansion margin
                                      # the ink-band refine may absorb: <1
                                      # rejects side-neighbor ink leaking in

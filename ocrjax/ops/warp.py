@@ -360,7 +360,8 @@ def warp_quads_multi_separable(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "rec_height", "bucket_width", "tile_h", "margin_fracs", "x_margin_keep"))
+    "rec_height", "bucket_width", "tile_h", "margin_fracs",
+    "x_margin_keep", "flat_frac"))
 def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
                                  rec_height: int = 32,
                                  bucket_width: int = 320,
@@ -368,7 +369,8 @@ def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
                                  ink_thresh: float = 0.0,
                                  margin_fracs=None,
                                  x_margin_keep: float = 1.0,
-                                 pad_value: float = 0.0, orig_quads=None
+                                 pad_value: float = 0.0, orig_quads=None,
+                                 flat_frac: float = 0.0
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi_separable: probe → AABB ink refine →
     re-warp (the pooled twin of the fused path's separable two-pass;
@@ -382,7 +384,8 @@ def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
     refined = refine_aabb_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
-        x_margin_keep=x_margin_keep, orig_quads=orig_quads)
+        x_margin_keep=x_margin_keep, orig_quads=orig_quads,
+        flat_frac=flat_frac)
     return warp_quads_multi_separable(
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width, tile_h=tile_h,
@@ -428,7 +431,8 @@ def expand_quads(quads, frac_y: float, frac_x: float, bounds=None):
 def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
               *, ink_thresh: float = 0.0, min_count: int = 2,
               pad_y: float = 2.0, pad_x: float = 3.0,
-              x_lo=None, x_hi=None, gap_fill: float = 0.10):
+              x_lo=None, x_hi=None, gap_fill: float = 0.10,
+              flat_frac: float = 0.0):
     """Per-strip padded bbox of the ink band containing the vertical center.
 
     The contiguous-run-through-center rule rejects fragments of NEIGHBORING
@@ -447,6 +451,19 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     with no other descenders — and the plain contiguous rule cropped them
     out, decoding '_' as ' '. Closing is bounded by the outermost ink, so
     a neighbor fragment separated by more than the gap stays rejected.
+
+    flat_frac > 0 enables the FLAT-BAND (x-height-aware) rescale
+    (cfg.rec_flat_band_frac): when every glyph in the strip shares the
+    same ink top AND bottom (segmented by blank columns; tolerance
+    0.18·band), the band box is expanded about its center so the ink
+    renders at flat_frac of the strip height instead of full height.
+    Training strips render ink centered at font-proportional size
+    (x-height ≈ 0.40·H, caps ≈ 0.52·H — synth.render_line), so blowing a
+    1-3-glyph uniform-height band to full height is out-of-distribution
+    and erases the case-size cue (x→X — DESIGN.md §4e). Per-glyph (not
+    per-column) structure is used because a glyph's own outline ('x', 'o')
+    makes column profiles non-flat; any ascender/descender/mixed-case
+    content breaks per-glyph uniformity and keeps the full-band mapping.
     """
     N, H, W = strips.shape
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
@@ -485,11 +502,48 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
 
     # --- column bbox inside the row band -----------------------------------
     band = (r[None, :] >= y0[:, None]) & (r[None, :] <= y1[:, None])
-    cols = jnp.sum(ink & band[:, :, None], axis=1) >= 1       # (N, W)
+    ink_band = ink & band[:, :, None]
+    cols = jnp.sum(ink_band, axis=1) >= 1                     # (N, W)
     any_col = cols.any(axis=1)
     x0 = jnp.argmax(cols, axis=1).astype(jnp.float32)
     x1 = (W - 1 - jnp.argmax(jnp.flip(cols, 1), axis=1)).astype(jnp.float32)
     ok = (band_ok | any_row) & any_col
+
+    if flat_frac > 0.0:
+        # per-column first/last ink row, then per-GLYPH extrema via
+        # blank-column segmentation (glyph id = running count of
+        # blank→ink column transitions)
+        top = jnp.where(cols, jnp.argmax(ink_band, axis=1),
+                        H).astype(jnp.float32)
+        bot = jnp.where(
+            cols, H - 1 - jnp.argmax(jnp.flip(ink_band, 1), axis=1),
+            -1).astype(jnp.float32)
+        prev = jnp.concatenate(
+            [jnp.zeros_like(cols[:, :1]), cols[:, :-1]], axis=1)
+        seg = jnp.clip(jnp.cumsum(cols & ~prev, axis=1) - 1, 0, W - 1)
+        gtop = jax.vmap(lambda t, s: jax.ops.segment_min(
+            t, s, num_segments=W))(jnp.where(cols, top, jnp.inf), seg)
+        gbot = jax.vmap(lambda b, s: jax.ops.segment_max(
+            b, s, num_segments=W))(jnp.where(cols, bot, -jnp.inf), seg)
+        gv = jnp.isfinite(gtop)
+        t_spread = (jnp.max(jnp.where(gv, gtop, -jnp.inf), axis=1)
+                    - jnp.min(jnp.where(gv, gtop, jnp.inf), axis=1))
+        b_spread = (jnp.max(jnp.where(gv, gbot, -jnp.inf), axis=1)
+                    - jnp.min(jnp.where(gv, gbot, jnp.inf), axis=1))
+        ih = y1 - y0 + 1.0
+        tol = jnp.maximum(2.0, 0.18 * ih)
+        # ≤3 glyph segments only: the measured error class is 1-3-glyph
+        # strips (scripts/eval_xheight.py); on LONGER uniform strings
+        # (all-caps/digit runs) the shrink measurably hurt the straight
+        # tier (0.9758 → 0.9699 ungated), while ≥4-glyph strips carry
+        # enough shape context to decode at full height.
+        n_glyphs = jnp.sum(gv, axis=1)
+        flat = (ok & (t_spread <= tol) & (b_spread <= tol)
+                & (n_glyphs <= 3))
+        yc = (y0 + y1) * 0.5
+        half = ih / (2.0 * flat_frac)
+        y0 = jnp.where(flat, yc - half, y0)
+        y1 = jnp.where(flat, yc + half, y1)
     return x0 - pad_x, y0 - pad_y, x1 + pad_x, y1 + pad_y, ok
 
 
@@ -530,7 +584,8 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                         pad_y: float = 2.0, pad_x: float = 3.0,
                         bounds=None, margin_fracs=None,
                         x_margin_keep: float = 1.0,
-                        orig_quads=None) -> jnp.ndarray:
+                        orig_quads=None,
+                        flat_frac: float = 0.0) -> jnp.ndarray:
     """Two-pass warp refinement, homography variant (warp_quads/_multi).
 
     Pass 1 warps an EXPANDED detection quad (see expand_quads) into a probe
@@ -566,7 +621,8 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
         x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
     x0, y0, x1, y1, ok = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
-        pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi)
+        pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi,
+        flat_frac=flat_frac)
     heights = jnp.full((N,), rec_height, jnp.int32)
     Hs = solve_homographies(quads, heights, widths)           # strip→page
     us = jnp.stack([x0, x1, x1, x0], axis=1)                  # (N, 4)
@@ -588,7 +644,8 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                        pad_y: float = 2.0, pad_x: float = 3.0,
                        bounds=None, margin_fracs=None,
                        x_margin_keep: float = 1.0,
-                       orig_quads=None) -> jnp.ndarray:
+                       orig_quads=None,
+                       flat_frac: float = 0.0) -> jnp.ndarray:
     """Two-pass refinement, AABB variant (matches warp_quads_separable's
     linear strip↔page mapping). quads (N, 4, 2) → refined RECT quads.
     margin_fracs/x_margin_keep/orig_quads: see refine_quads_to_ink."""
@@ -615,7 +672,8 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
         x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
     xs0, ys0, xs1, ys1, ok = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
-        pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi)
+        pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi,
+        flat_frac=flat_frac)
     ya2 = ya + ys0 * sy
     yb2 = ya + ys1 * sy
     xa2 = xa + xs0 * sx
@@ -676,7 +734,8 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
 def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
                        bucket_width: int = 320, ink_thresh: float = 0.0,
                        margin_fracs=None, x_margin_keep: float = 1.0,
-                       pad_value: float = 0.0, orig_quads=None
+                       pad_value: float = 0.0, orig_quads=None,
+                       flat_frac: float = 0.0
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads: probe → ink-band refine → full-res re-warp.
 
@@ -692,19 +751,22 @@ def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
     refined = refine_quads_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
-        x_margin_keep=x_margin_keep, orig_quads=orig_quads)
+        x_margin_keep=x_margin_keep, orig_quads=orig_quads,
+        flat_frac=flat_frac)
     return warp_quads(
         page, refined, rec_height=rec_height, bucket_width=bucket_width,
         pad_value=pad_value)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "rec_height", "bucket_width", "margin_fracs", "x_margin_keep"))
+    "rec_height", "bucket_width", "margin_fracs", "x_margin_keep",
+    "flat_frac"))
 def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
                              rec_height: int = 32, bucket_width: int = 320,
                              ink_thresh: float = 0.0,
                              margin_fracs=None, x_margin_keep: float = 1.0,
-                             pad_value: float = 0.0, orig_quads=None
+                             pad_value: float = 0.0, orig_quads=None,
+                             flat_frac: float = 0.0
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi (pooled strips from a page batch)."""
     strips, widths = warp_quads_multi(
@@ -714,7 +776,8 @@ def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
     refined = refine_quads_to_ink(
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
-        x_margin_keep=x_margin_keep, orig_quads=orig_quads)
+        x_margin_keep=x_margin_keep, orig_quads=orig_quads,
+        flat_frac=flat_frac)
     return warp_quads_multi(
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width,

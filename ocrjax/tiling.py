@@ -439,7 +439,8 @@ def _host_fallback_strips(engine, img, quads, host_idx):
             gray, x0, y0, x1, y1,
             margin_left_px=max(0.0, q[:, 0].min() - x0),
             margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
-            x_margin_keep=cfg.rec_ink_x_margin_keep)
+            x_margin_keep=cfg.rec_ink_x_margin_keep,
+            flat_frac=cfg.rec_flat_band_frac)
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
     return strips
 

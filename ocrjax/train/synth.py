@@ -422,6 +422,7 @@ def render_page(
     p_word: float = 0.0,
     fonts: Optional[Sequence[str]] = None,
     supersample: int = 1,
+    min_len: int = 2,
 ) -> Tuple[np.ndarray, List[np.ndarray], List[str]]:
     """A page image with non-overlapping text lines at random positions.
 
@@ -442,9 +443,9 @@ def render_page(
         for _attempt in range(20):
             th = rng.randint(text_height[0], text_height[1] + 1)
             if p_word > 0 and rng.rand() < p_word:
-                text = word_text(rng, charset, 2, max_len)
+                text = word_text(rng, charset, max(min_len, 2), max_len)
             else:
-                text = random_text(rng, charset, 2, max_len)
+                text = random_text(rng, charset, min_len, max_len)
             fs = FONTS if fonts is None else list(fonts)
             strip = render_line(text, th, fs[rng.randint(len(fs))],
                                 rng, noise, pad=2, supersample=supersample)

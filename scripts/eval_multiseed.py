@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--degrade-seeds", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json", default=None, help="write results as JSON")
+    ap.add_argument("--flat-frac", type=float, default=None,
+                    help="override cfg.rec_flat_band_frac")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -70,6 +72,9 @@ def main():
     if args.det_weights:
         eng.det_variables = W.load_variables(args.det_weights)
         print("candidate det weights:", args.det_weights, flush=True)
+    if args.flat_frac is not None:
+        eng.config = eng.config.replace(rec_flat_band_frac=args.flat_frac)
+        print("rec_flat_band_frac:", args.flat_frac, flush=True)
 
     out = {}
     out["straight"] = _tier(

@@ -141,3 +141,54 @@ def test_refine_x_window_uses_applied_margins_at_page_edge():
     assert float(refined_applied[0, :, 0].min()) <= 1.0
     # the nominal window (old behavior) masks the leading columns
     assert float(refined_nominal[0, :, 0].min()) > 2.0
+
+
+def test_flat_band_rescale_expands_uniform_bands_only():
+    """cfg.rec_flat_band_frac: a strip whose glyphs share one ink top AND
+    bottom (x-height-only content, ≤3 glyphs) gets its refined box
+    EXPANDED so the ink renders at flat_frac of the strip height; any
+    ascender/descender structure, or ≥4 glyphs, keeps the tight band
+    (VERDICT r3 next #5 — the full-height rescale erased the case-size
+    cue, x→X)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ocrjax.ops.warp import refine_aabb_to_ink
+
+    H, W = 32, 128
+
+    def strip_with(cols_tops):
+        # cols_tops: list of (x0, x1, top, bot) ink blocks
+        s = np.full((1, H, W), 1.0, np.float32)
+        for x0, x1, t, b in cols_tops:
+            s[:, t:b + 1, x0:x1 + 1] = -1.0
+        return jnp.asarray(s)
+
+    quad = jnp.asarray([[[0.0, 0.0], [127.0, 0.0],
+                         [127.0, 31.0], [0.0, 31.0]]], jnp.float32)
+    widths = jnp.asarray([128], jnp.int32)
+    kw = dict(rec_height=H, ink_thresh=0.0, pad_x=0.0, pad_y=0.0,
+              flat_frac=0.46)
+
+    def band_h(refined):
+        return float(refined[0, :, 1].max() - refined[0, :, 1].min())
+
+    # two x-height glyphs: band rows 12..22 (h=11) → expanded to ~11/0.46
+    flat = strip_with([(10, 30, 12, 22), (40, 60, 12, 22)])
+    r = refine_aabb_to_ink(flat, widths, quad, **kw)
+    assert abs(band_h(r) - (11 / 0.46 - 1)) < 2.0, band_h(r)
+
+    # same two glyphs + an ascender second glyph: tight band kept
+    asc = strip_with([(10, 30, 12, 22), (40, 60, 4, 22)])
+    r = refine_aabb_to_ink(asc, widths, quad, **kw)
+    assert band_h(r) <= 20.0, band_h(r)
+
+    # four uniform glyphs: glyph-count gate keeps the tight band
+    four = strip_with([(x, x + 12, 12, 22) for x in (6, 36, 66, 96)])
+    r = refine_aabb_to_ink(four, widths, quad, **kw)
+    assert band_h(r) <= 13.0, band_h(r)
+
+    # flat_frac=0 (default): tight band in all cases
+    kw0 = dict(kw, flat_frac=0.0)
+    r = refine_aabb_to_ink(flat, widths, quad, **kw0)
+    assert band_h(r) <= 13.0, band_h(r)
