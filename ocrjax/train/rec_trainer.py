@@ -108,6 +108,7 @@ def train_rec(
     font_anneal_frac: float = 0.0,
     degrade: float = 0.0,
     degrade_anneal_frac: float = 0.0,
+    flat_snap: float = 0.0,
     mesh=None,
 ) -> TrainResult:
     """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
@@ -202,7 +203,7 @@ def train_rec(
                 max_len=max_len, p_space=p_space, max_rotation=aug_rotation,
                 char_weights=char_weights, quantize_p=quantize_p,
                 p_word=p_word, stretch=stretch, font_weights=fw,
-                degrade=dg)
+                degrade=dg, flat_snap=flat_snap)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state,
             *put_batch(lb.images, lb.widths, lb.labels, lb.label_lengths))

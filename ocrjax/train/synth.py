@@ -148,6 +148,52 @@ class LineBatch:
     texts: List[str]
 
 
+def flat_snap_strip(strip: np.ndarray, frac: float,
+                    ink_thresh: int = 128) -> Optional[np.ndarray]:
+    """Apply the SERVING flat-band geometry to a rendered strip
+    (train/serve consistency for cfg.rec_flat_band_frac — DESIGN.md §4f):
+    if the strip's ink band is ≤3 glyphs with uniform tops/bottoms (the
+    same gate ops.warp.ink_boxes uses), crop the band and re-render it at
+    `frac` of the strip height, centered. Returns None when the gate does
+    not fire (ascenders/descenders, ≥4 glyphs, or no ink)."""
+    import cv2
+
+    H = strip.shape[0]
+    ink = strip < ink_thresh
+    rows = ink.sum(axis=1) >= 2
+    if not rows.any():
+        return None
+    ys = np.where(rows)[0]
+    a, b = int(ys.min()), int(ys.max())
+    band = ink[a:b + 1]
+    cols = band.sum(axis=0) >= 1
+    if not cols.any():
+        return None
+    band_h = b - a + 1
+    col_top = np.where(cols, band.argmax(axis=0), band_h)
+    col_bot = np.where(cols, band_h - 1 - band[::-1].argmax(axis=0), -1)
+    on = cols & ~np.concatenate([[False], cols[:-1]])
+    ng = int(on.sum())
+    if ng == 0 or ng > 3:
+        return None
+    seg = np.cumsum(on) - 1
+    gtop = [col_top[(seg == g) & cols].min() for g in range(ng)]
+    gbot = [col_bot[(seg == g) & cols].max() for g in range(ng)]
+    tol = max(2.0, 0.18 * band_h)
+    if max(gtop) - min(gtop) > tol or max(gbot) - min(gbot) > tol:
+        return None
+    xs = np.where(cols)[0]
+    crop = strip[a:b + 1, int(xs.min()):int(xs.max()) + 1]
+    target = max(2, int(round(frac * H)))
+    new_w = max(1, int(round(crop.shape[1] * target / band_h)))
+    small = cv2.resize(crop, (new_w, target),
+                       interpolation=cv2.INTER_LINEAR)
+    out = np.full((H, new_w + 6), 255, np.uint8)
+    y0 = (H - target) // 2
+    out[y0:y0 + target, 3:3 + new_w] = small
+    return out
+
+
 def make_line_batch(
     rng: np.random.RandomState,
     charset: Charset,
@@ -167,6 +213,7 @@ def make_line_batch(
     stretch: float = 0.0,
     font_weights=None,
     degrade: float = 0.0,
+    flat_snap: float = 0.0,
 ) -> LineBatch:
     """Random rendered lines padded to a fixed (batch, height, width).
 
@@ -190,7 +237,10 @@ def make_line_batch(
     (degrade_image at a random level in [0.25, 1.0]) — blur, noise, JPEG,
     contrast squeeze, illumination texture. Applied AFTER the geometric
     augmentations, mirroring serving (a degraded scan is degraded before
-    the warp crops it)."""
+    the warp crops it).
+    flat_snap > 0: probability of applying the SERVING flat-band geometry
+    (flat_snap_strip, frac drawn in [0.42, 0.52]) to eligible strips —
+    train/serve consistency for cfg.rec_flat_band_frac (DESIGN.md §4f)."""
     images = np.zeros((batch_size, height, width), np.uint8)
     widths = np.zeros((batch_size,), np.int32)
     labels = np.zeros((batch_size, max_label), np.int32)
@@ -277,6 +327,10 @@ def make_line_batch(
                 new_w = max(1, int(round(strip.shape[1] * f)))
                 strip = cv2.resize(strip, (new_w, strip.shape[0]),
                                    interpolation=cv2.INTER_LINEAR)
+            if flat_snap > 0 and rng.rand() < flat_snap:
+                fs = flat_snap_strip(strip, rng.uniform(0.42, 0.52))
+                if fs is not None and fs.shape[1] <= width:
+                    strip = fs
             if strip.shape[1] <= width and len(text) <= max_label:
                 break
         if degrade > 0 and rng.rand() < degrade:

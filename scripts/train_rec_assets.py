@@ -97,6 +97,11 @@ def main():
                     help="render PAGES pages, run the real detection+refined"
                          "-warp path, and mix the resulting gt-labeled crops "
                          "into training 50/50 (serving-distribution data)")
+    ap.add_argument("--flat-snap", type=float, default=0.0,
+                    help="probability of the serving flat-band geometry "
+                         "augmentation per eligible strip "
+                         "(synth.flat_snap_strip; train/serve consistency "
+                         "for rec_flat_band_frac, DESIGN.md 4f)")
     ap.add_argument("--mesh", default=None, metavar="DP[,TP]",
                     help="train the SAME step dp(+tp)-sharded over a device "
                          "mesh (parallel.mesh): '8' = 8-way data parallel, "
@@ -210,6 +215,7 @@ def main():
         font_anneal_frac=args.font_anneal_frac,
         degrade=args.degrade,
         degrade_anneal_frac=args.degrade_anneal_frac,
+        flat_snap=args.flat_snap,
     )
     cfg_json = json.dumps({
         "rec_hidden": config.rec_hidden,

