@@ -81,7 +81,7 @@ class OcrConfig:
     rec_crop_margin: float = 0.15    # pre-snap quad expansion, fraction of
                                      # line height on every side (recovers
                                      # glyphs the detector's box clipped)
-    rec_flat_band_frac: float = 0.0  # flat-band (x-height-aware) rescale:
+    rec_flat_band_frac: float = 0.46  # flat-band (x-height-aware) rescale:
                                      # when a strip's ink band has a FLAT
                                      # top and bottom profile (no ascender/
                                      # descender structure — 1-3 glyph
@@ -97,9 +97,13 @@ class OcrConfig:
                                      # line), so the full-height rescale
                                      # is out-of-distribution for flat
                                      # bands and erases the x-height size
-                                     # cue (x→X, DESIGN.md §4e). ~0.46
+                                     # cue (x→X, DESIGN.md §4e). 0.46
                                      # lands both glyph classes near their
-                                     # training sizes. 0 disables.
+                                     # training sizes; the shipped rec
+                                     # soup is fine-tuned on this geometry
+                                     # (--flat-snap, DESIGN.md §4f:
+                                     # len-1/2 exact 0.603/0.817 →
+                                     # 0.714/0.917). 0 disables.
     rec_ink_x_margin_keep: float = 0.5  # fraction of the x expansion margin
                                      # the ink-band refine may absorb: <1
                                      # rejects side-neighbor ink leaking in

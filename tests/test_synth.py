@@ -105,3 +105,41 @@ def test_make_line_batch_font_weights():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_warp_page_projective_transforms_quads_exactly():
+    """The projective tier's gt quads must ride the same transform as the
+    pixels: ink inside each warped quad (dilated by a few px) must equal
+    the original line's ink mass to within antialiasing loss."""
+    import numpy as np
+
+    from ocrjax.charset import default_charset
+    from ocrjax.train import synth
+
+    rng = np.random.RandomState(5)
+    page, quads, texts = synth.render_page(
+        rng, default_charset(), size=(400, 400), n_lines=(3, 5), noise=0.0)
+    warped, wq = synth.warp_page_projective(page, quads, rng,
+                                            severity=1.0, curl=1.0)
+    assert warped.shape == page.shape
+    import cv2
+    # every warped ink pixel must lie inside SOME warped quad (dilated by
+    # a few px for interpolation spread): the quads rode the same
+    # transform as the pixels. (Absolute ink mass drops ~15% at severity
+    # 1.0 — the inward warp shrinks the page and bilinear interpolation
+    # thins antialiased strokes past the threshold — so per-quad mass
+    # comparisons against the original are not meaningful.)
+    cover = np.zeros(page.shape, np.uint8)
+    for q1 in wq:
+        cv2.fillPoly(cover, [np.round(q1).astype(np.int32)], 1)
+    cover = cv2.dilate(cover, np.ones((9, 9), np.uint8))
+    ink = warped < 128
+    inside = int((ink & (cover > 0)).sum())
+    total = int(ink.sum())
+    assert total > 0 and inside >= 0.98 * total, (inside, total)
+
+    # severity 0, curl 0 = identity
+    same, sq = synth.warp_page_projective(page, quads, rng, 0.0, 0.0)
+    assert np.array_equal(same, page)
+    for a, b in zip(quads, sq):
+        np.testing.assert_allclose(a, b)

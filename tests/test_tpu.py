@@ -1,5 +1,7 @@
 """Real-TPU tests (run with OCRJAX_TEST_TPU=1 on hardware; skipped on CPU)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -297,3 +299,65 @@ def test_c5_tiled_e2e_on_tpu():
     # measured 4-seed mean 0.922 (0.81-1.00 per-seed); gate leaves ~1.5
     # extra misses of headroom for render/numerics noise
     assert float(np.mean(per_seed)) >= 0.88, per_seed
+
+
+def test_short_strip_flat_band_gate_on_tpu():
+    """1-2-glyph line gate (DESIGN.md §4f, VERDICT r3 next #5): the
+    flat-band rescale + flat-snap-fine-tuned soup lifted the shortest
+    strips (the dominant error class) from 0.603/0.817 len-1/len-2
+    exact to 0.714/0.917. Gate with seed-noise headroom; also bounds the
+    case-flip miss count the mechanism exists to kill (was 6/319 before,
+    1/319 shipped)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.eval_xheight import case_flip
+    from scripts.eval_quality_breakdown import _align_subs
+    from ocrjax.api import OcrEngine
+    from ocrjax.train import synth
+    from ocrjax.train.e2e_eval import _levenshtein
+
+    eng = OcrEngine.from_pretrained()
+    assert eng.config.rec_flat_band_frac > 0  # shipped default ON
+    stats = {}
+    case_misses = 0
+    for L in (1, 2):
+        rng = np.random.RandomState(42 + L)
+        total = exact = 0
+        for _ in range(8):
+            page, _, texts = synth.render_page(
+                rng, eng.charset, size=(640, 640), n_lines=(5, 8),
+                max_len=L, min_len=L)
+            img = np.repeat(page[..., None], 3, axis=2)
+            preds = [ln.text for ln in eng.ocr(img).lines]
+            total += len(texts)
+            for t in texts:
+                if t in preds:
+                    preds.remove(t)
+                    exact += 1
+                elif preds:
+                    d = [_levenshtein(t, p) for p in preds]
+                    p = preds.pop(int(np.argmin(d)))
+                    case_misses += any(
+                        "∅" not in s and case_flip(*s)
+                        for s in _align_subs(t, p))
+        stats[L] = (exact, total)
+    assert stats[1][0] / stats[1][1] >= 0.62, stats
+    assert stats[2][0] / stats[2][1] >= 0.85, stats
+    assert case_misses <= 4, (case_misses, stats)
+
+
+def test_projective_page_gate_on_tpu():
+    """Projective/keystone + page-curl tier gate (DESIGN.md §4g, VERDICT
+    r3 missing #2: real scans are never fronto-parallel). Mild severity:
+    det_recall measured 1.0, line-exact 0.9658 over 4 seeds — gate with
+    headroom."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.train.e2e_eval import evaluate_e2e
+
+    eng = OcrEngine.from_pretrained()
+    m = evaluate_e2e(eng, n_pages=8, seed=555, projective=0.3, curl=0.3)
+    assert m["det_recall"] >= 0.95, m
+    # 4-seed mean measured 0.9658; the weakest single seed 0.913 — the
+    # 8-page single-run gate sits between with headroom
+    assert m["line_exact_match"] >= 0.90, m
