@@ -52,7 +52,16 @@ if os.environ.get("OCRJAX_TEST_TPU"):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires a real TPU device")
-    config.addinivalue_line("markers", "slow: long-running (training) test")
+    # Two-tier policy (VERDICT r3 next #7): `slow` marks training loops,
+    # the opt-in int8 path, golden module fixtures, torch-twin e2e parity
+    # and redundant reroute-lane variants. scripts/test_fast.sh runs
+    # `-m "not slow"` one-file-per-process (~12-17 min on this 1-core
+    # host); scripts/test_all.sh runs everything (~45-60 min). Monolithic
+    # all-files pytest runs are NOT safe on this host: XLA:CPU segfaults
+    # after a few hundred in-process compiles (observed twice at tests
+    # ~96/~250, inside backend_compile_and_load — same host-LLVM
+    # fragility as the disabled CPU cache below).
+    config.addinivalue_line("markers", "slow: heavyweight (full tier only)")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -98,6 +98,7 @@ def test_rec_forced_flip_payload_parity(engines):
     np.testing.assert_array_equal(got[3], want[3])
 
 
+@pytest.mark.slow
 def test_fused_path_parity_end_to_end(engines, page):
     """Same page through ocr_pages_fused under both transports: identical
     strings, confidences, and box coordinates (the goldens' guarantee that
@@ -117,6 +118,7 @@ def test_fused_path_parity_end_to_end(engines, page):
             assert lb.box.score == lf.box.score
 
 
+@pytest.mark.slow
 def test_pooled_path_parity_end_to_end(engines, page):
     from ocrjax.bucketing import ocr_pages
 

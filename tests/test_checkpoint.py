@@ -6,6 +6,9 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # training loop + checkpoint I/O
 import optax
 
 from ocrjax.charset import Charset

@@ -131,6 +131,7 @@ def test_c4_fused_matches_bucketed(engine, page):
     assert fusedr[0].text == fusedr[1].text
 
 
+@pytest.mark.slow
 def test_c4_fused_beam_matches_bucketed_beam(engine, page):
     """Beam decode through the fused program matches the bucketed beam path
     (same on-device prefix beam search, same geometry)."""
@@ -163,6 +164,7 @@ def test_c5_ocr_tiled_api(engine):
     assert len(out[0].lines) == len(res.lines)
 
 
+@pytest.mark.slow
 def test_c4_fused_truncated_pages_redo_unbounded(page):
     """A page with more lines than the fused program's static capacity must
     NOT return truncated results: ocr_pages_fused redoes saturated pages
@@ -179,6 +181,7 @@ def test_c4_fused_truncated_pages_redo_unbounded(page):
         assert len(rf.lines) == len(rb.lines)
 
 
+@pytest.mark.slow
 def test_c4_fused_oom_chunk_halving(page, monkeypatch):
     """RESOURCE_EXHAUSTED from a fused chunk triggers batch-halving retries
     (mirroring tiling's OOM fallback) instead of failing the batch."""
@@ -212,6 +215,7 @@ def test_c4_fused_oom_chunk_halving(page, monkeypatch):
     assert [len(r.lines) for r in out] == [len(r.lines) for r in ref]
 
 
+@pytest.mark.slow
 def test_c4_fused_color_reroute(page, monkeypatch):
     """Pages with strong chroma reroute to the staged min-channel-luma
     path: 601 luma can wash out saturated colored ink entirely (yellow on

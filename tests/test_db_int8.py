@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # opt-in int8 det path (held OFF; full tier only)
+
 from ocrjax.api import OcrEngine
 from ocrjax.config import OcrConfig, TINY
 from ocrjax.models import db_int8

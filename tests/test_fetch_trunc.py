@@ -127,6 +127,7 @@ def _diff_results(got, want):
 _TRUNC_CASES = [dict(), dict(fetch_max_tokens=2, det_fetch_candidates=1)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("over", _TRUNC_CASES)
 def test_fused_path_parity(pages, over):
     from ocrjax.fused import ocr_pages_fused
@@ -137,6 +138,7 @@ def test_fused_path_parity(pages, over):
     _diff_results(ocr_pages_fused(et, pages), ocr_pages_fused(ef, pages))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("over", _TRUNC_CASES)
 def test_pooled_path_parity(pages, over):
     from ocrjax.bucketing import ocr_pages
@@ -146,6 +148,7 @@ def test_pooled_path_parity(pages, over):
     _diff_results(ocr_pages(et, pages), ocr_pages(ef, pages))
 
 
+@pytest.mark.slow
 def test_detect_and_single_page_parity(pages):
     et = _engine(det_fetch_candidates=1, fetch_max_tokens=2)
     ef = _engine(det_fetch_candidates=0, fetch_max_tokens=0)

@@ -64,6 +64,7 @@ def test_tp_param_sharding_rules():
     assert spec == P()
 
 
+@pytest.mark.slow
 @requires_8
 def test_sharded_train_step_runs_and_matches_single():
     """Three dp+tp-sharded steps of THE production train step
@@ -143,6 +144,7 @@ def test_sharded_train_step_runs_and_matches_single():
                 err_msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 @requires_8
 def test_train_rec_with_mesh_runs():
     """train_rec itself (the production loop scripts/train_rec_assets.py
@@ -156,6 +158,7 @@ def test_train_rec_with_mesh_runs():
     assert np.isfinite(r.history[-1][1])
 
 
+@pytest.mark.slow
 @requires_8
 def test_sharded_fused_ocr_matches_unsharded():
     """The fused e2e program dp-sharded over 8 devices returns the same

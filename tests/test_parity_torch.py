@@ -321,6 +321,7 @@ def _iou_quad(a: np.ndarray, b: np.ndarray) -> float:
     return inter / max(union, 1)
 
 
+@pytest.mark.slow
 def test_e2e_golden_parity_20_pages():
     """Shipped det+rec assets through flax AND the torch twins on 20
     synthetic pages: boxes bit-comparable (IoU ≥ 0.999 over int-rounded

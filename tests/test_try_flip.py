@@ -192,6 +192,7 @@ def test_recognize_strip_no_flip_flag_reads_garbage(engine):
     assert down.text != text  # guards that the feature is load-bearing
 
 
+@pytest.mark.slow
 def test_ocr_upside_down_page_matches_upright(engine, flip_engine):
     rng = np.random.RandomState(5)
     page, _, texts = synth.render_page(rng, engine.charset)
@@ -309,6 +310,7 @@ def test_rot90_quad_mapping_roundtrip():
     assert geometry.quad_tilt_deg(q_rot)[0] < 10
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [1, 3])
 def test_rot90_page_reads_upright(flip_engine, k):
     """A page scanned in landscape (±90°) reads correctly in original
@@ -327,6 +329,7 @@ def test_rot90_page_reads_upright(flip_engine, k):
         assert (q[:, 1] >= -1).all() and (q[:, 1] <= h).all()
 
 
+@pytest.mark.slow
 def test_rot90_batch_staged_path(flip_engine):
     """The pooled batched path reroutes rotated pages too (mixed batch of
     upright + landscape pages through bucketing.ocr_pages)."""
@@ -354,6 +357,7 @@ def test_rot90_batch_fused_path(flip_engine):
         [l.text for l in r_rot.lines]
 
 
+@pytest.mark.slow
 def test_rot90_tiled_path():
     """ocr_tiled reroutes a landscape document (C5 + ±90°): boxes come back
     in the original landscape frame, text in original reading order."""
@@ -374,6 +378,7 @@ def test_rot90_tiled_path():
         assert (q[:, 1] >= -1).all() and (q[:, 1] <= h).all()
 
 
+@pytest.mark.slow
 def test_untrained_cls_warns_once(caplog):
     """rec_try_flip on an engine with NO cls checkpoint: flip decisions
     come from a random-init net — the dispatch paths must say so (once)."""
@@ -413,6 +418,7 @@ def test_recognize_strips_flip_over_count_cap():
         assert len(rs) == n
 
 
+@pytest.mark.slow
 def test_pooled_prior_pools_across_width_buckets():
     """The page-orientation consensus spans width buckets: with a huge
     cls_page_prior every line of one page must get the SAME flip decision
@@ -447,6 +453,7 @@ def test_pooled_prior_pools_across_width_buckets():
     assert len(set(flips)) == 1, flips
 
 
+@pytest.mark.slow
 def test_recognize_pooled_flip_chunks_over_count_cap():
     """Mechanics on TINY (random weights): the pooled path splits a width
     bucket larger than the count cap instead of crashing, and in flip mode
