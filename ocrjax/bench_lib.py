@@ -82,6 +82,22 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         times.append(time.perf_counter() - t0)
     report["crops_per_sec"] = n / min(times)
     report["rec_batch_ms"] = min(times) * 1e3
+    # Roofline: XLA-counted FLOPs of the timed program vs the v5e bf16
+    # peak, with the BiLSTM's analytic share so the top compute sink
+    # inside the recognizer is named (VERDICT r3 missing #5).
+    from ocrjax.utils import roofline as RL
+    rec_flops = RL.xla_flops(
+        lambda s, w: engine._rec_step(engine.rec_variables, s, w),
+        strips_d, widths_d)
+    lstm_flops = RL.crnn_bilstm_flops(cfg, n, width_bucket)
+    rec_s = min(times)
+    roofline = [RL.stage_entry("rec_fwd+ctc", rec_flops, rec_s)]
+    if rec_flops == rec_flops:  # not nan
+        lstm_share = lstm_flops / rec_flops
+        roofline.append(dict(
+            stage="rec_bilstm_share",
+            gflops=round(lstm_flops / 1e9, 2),
+            pct_of_rec_flops=round(100 * lstm_share, 1)))
     if progress is not None:
         progress["partial"]["crops_per_sec"] = round(
             report["crops_per_sec"], 0)
@@ -143,6 +159,13 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
            wh_d).block_until_ready()
         times.append(time.perf_counter() - t0)
     report["pages_per_sec_device"] = C / min(times)
+    # fused single-program roofline (det fwd + boxes + warp + rec + ctc)
+    fused_flops = RL.xla_flops(
+        lambda g, t, w: fn(st.variables, engine.rec_variables,
+                           engine.cls_variables, g, t, w),
+        grays_d, thr_d, wh_d)
+    roofline.append(RL.stage_entry(
+        f"fused_e2e_chunk{C}", fused_flops, min(times)))
     if progress is not None:
         progress["partial"]["device_pages_per_sec"] = round(
             report["pages_per_sec_device"], 1)
@@ -241,6 +264,24 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     report["dense_det_ms_per_page"] = round(det_page_s * 1e3, 1)
     report["dense_tiles_per_page"] = int(sum(len(g) for g in d_groups))
     report["dense_pages_per_sec_device"] = len(dense_imgs) / dense_ceiling_s
+    # dense tile-det roofline (sum over the page's shape groups)
+    det_flops = sum(RL.xla_flops(
+        lambda g: d_fwd(d_st.variables, g), gd) for gd in d_devs)
+    roofline.append(RL.stage_entry(
+        "dense_tile_det_page", det_flops, det_page_s))
+    # per-page device-time normalization across the two e2e paths: the
+    # stage costing the most device ms per page is the next compute
+    # optimization target
+    per_page = {
+        f"fused_e2e_chunk{C}": roofline[-2]["ms"] / C,
+        "dense_tile_det_page": roofline[-1]["ms"],
+    }
+    report["roofline"] = {
+        "peak_bf16_tflops": RL.V5E_BF16_PEAK_TFLOPS,
+        "stages": roofline,
+        "ms_per_page": {k: round(v, 2) for k, v in per_page.items()},
+        "top_compute_sink": max(per_page, key=per_page.get),
+    }
     if progress is not None:
         progress["partial"]["dense_pages_per_sec"] = round(
             report["dense_pages_per_sec"], 2)

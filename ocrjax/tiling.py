@@ -515,6 +515,9 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
         pool = _get_prefetch_pool()
         fut = pool.submit(_prep, 0) if B else None
         window, budget = [], 0
+        first = B > 1  # ramp-up: the FIRST window is a single page, so
+        #              its (blocking) upload + detection start immediately
+        #              and the pipeline fills while later windows prep
         for i in range(B):
             with T.stage("tile_prep"):
                 page = fut.result()
@@ -525,9 +528,10 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
             # heterogeneous tiles: budget in full-tile equivalents (px/T²)
             n_tiles = sum(g.shape[0] * g.shape[1] * g.shape[2]
                           for g in page[3]) / float(cfg.tile_size ** 2)
-            if window and budget + n_tiles > cap:
+            if window and (first or budget + n_tiles > cap):
                 yield window
                 window, budget = [], 0
+                first = False
             window.append(page)
             budget += n_tiles
         if window:
