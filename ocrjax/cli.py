@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="disable polarity canonicalization (by default "
                              "light-ink-on-dark pages are inverted at decode"
                              " — config.auto_invert)")
+        sp.add_argument("--flat-band-frac", type=float, default=None,
+                        help="flat-band (x-height-aware) ink rescale "
+                             "fraction (config.rec_flat_band_frac, default "
+                             "0.46; 0 disables — DESIGN.md §4f)")
+        sp.add_argument("--tile-pipeline-tiles", type=int, default=None,
+                        help="target tiles per C5 window for multi-page "
+                             "pipelining (config.tile_pipeline_tiles)")
+        sp.add_argument("--tile-window-hbm-mb", type=int, default=None,
+                        help="HBM budget per pooled C5 window "
+                             "(config.tile_window_hbm_mb)")
         sp.add_argument("--viz", default=None, metavar="PATH",
                         help="write a debug visualization (detected quads +"
                              " text drawn on the page); for multiple inputs"
@@ -107,7 +117,10 @@ def _make_engine(args):
     for field, flag in [("det_thresh", "det_thresh"),
                         ("det_box_thresh", "det_box_thresh"),
                         ("det_unclip_ratio", "det_unclip_ratio"),
-                        ("det_max_side", "det_max_side")]:
+                        ("det_max_side", "det_max_side"),
+                        ("rec_flat_band_frac", "flat_band_frac"),
+                        ("tile_pipeline_tiles", "tile_pipeline_tiles"),
+                        ("tile_window_hbm_mb", "tile_window_hbm_mb")]:
         v = getattr(args, flag)
         if v is not None:
             overrides[field] = v
