@@ -203,7 +203,13 @@ class OcrEngine:
             # count bucket, line_bucket_for_count clamps and nb < n
             total = batch.shape[0]
             if prior_ids is not None:  # per-page groups; pads vote alone
-                base = np.asarray(prior_ids, np.int32)
+                # COMPACT to dense [0, n): apply_page_prior's segment
+                # scatter/gather requires dense ids — raw caller ids can
+                # exceed the padded batch size (e.g. ocr_fullres_batch row
+                # indices after rot90/empty pages drop out), which would
+                # silently zero the prior for those pages
+                base = np.unique(np.asarray(prior_ids, np.int64),
+                                 return_inverse=True)[1].astype(np.int32)
                 seg = np.concatenate(
                     [base, base.max(initial=0) + 1
                      + np.arange(total - n, dtype=np.int32)])

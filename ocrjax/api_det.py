@@ -655,34 +655,25 @@ def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     pad_y = max(1, round(band_h * 2 / 28))
     pad_x = max(1, round(band_h * 3 / 28))
     if flat_frac > 0.0:
-        # host mirror of ops.warp.ink_boxes' flat-band rescale: per-glyph
-        # (blank-column-segmented) top/bottom uniformity → render the band
-        # at flat_frac of the strip instead of full height. The host crop
-        # pads with true background (255) so the glyph stays centered even
-        # at image edges.
-        band_ink = ink[a:b + 1]
-        col_top = np.where(cols, band_ink.argmax(axis=0), band_h)
-        col_bot = np.where(cols, band_h - 1
-                           - band_ink[::-1].argmax(axis=0), -1)
-        breaks = np.flatnonzero(cols & ~np.concatenate([[False], cols[:-1]]))
-        seg = np.cumsum(cols & ~np.concatenate([[False], cols[:-1]])) - 1
-        gtop = [col_top[(seg == g) & cols].min() for g in range(len(breaks))]
-        gbot = [col_bot[(seg == g) & cols].max() for g in range(len(breaks))]
-        tol = max(2.0, 0.18 * band_h)
-        if gtop and len(gtop) <= 3 \
-                and (max(gtop) - min(gtop)) <= tol \
-                and (max(gbot) - min(gbot)) <= tol:
+        # host mirror of ops.warp.ink_boxes' flat-band rescale (shared
+        # gate: utils/flatband) — render the band at flat_frac of the
+        # strip instead of full height, padding with true background
+        # (255) so the glyphs stay centered even at image edges.
+        from ocrjax.utils.flatband import flat_band_gate
+        if flat_band_gate(ink[a:b + 1]):
             half = int(round(band_h / (2.0 * flat_frac)))
             yc = (a + b) // 2
             ca, cb = yc - half, yc + half
-            out = np.full((cb - ca + 1,
-                           int(xs.max()) - int(xs.min()) + 1 + 2 * pad_x),
-                          255, crop.dtype)
+            nx0 = int(xs.min()) - pad_x          # nominal x window
+            nx1 = int(xs.max()) + 1 + pad_x
+            out = np.full((cb - ca + 1, nx1 - nx0), 255, crop.dtype)
             sa, sb = max(0, ca), min(crop.shape[0] - 1, cb)
-            sx0 = max(0, int(xs.min()) - pad_x)
-            sx1 = min(crop.shape[1], int(xs.max()) + 1 + pad_x)
+            sx0, sx1 = max(0, nx0), min(crop.shape[1], nx1)
+            # place the copied region at its offset within the nominal
+            # window, so edge-clipped crops keep symmetric margins
             out[sa - ca:sa - ca + (sb - sa + 1),
-                0:sx1 - sx0] = crop[sa:sb + 1, sx0:sx1]
+                sx0 - nx0:sx0 - nx0 + (sx1 - sx0)] = \
+                crop[sa:sb + 1, sx0:sx1]
             return out
     return crop[max(0, a - pad_y):b + 1 + pad_y,
                 max(0, int(xs.min()) - pad_x):int(xs.max()) + 1 + pad_x]

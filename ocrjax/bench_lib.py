@@ -271,10 +271,14 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         "dense_tile_det_page", det_flops, det_page_s))
     # per-page device-time normalization across the two e2e paths: the
     # stage costing the most device ms per page is the next compute
-    # optimization target
+    # optimization target. The dense entry includes its per-page
+    # RECOGNITION time (lines/page over the measured resident crop rate)
+    # so it compares like-for-like with the fused e2e figure.
+    dense_rec_ms = (n_dense_lines / max(len(dense_imgs), 1)
+                    / report["crops_per_sec"] * 1e3)
     per_page = {
         f"fused_e2e_chunk{C}": roofline[-2]["ms"] / C,
-        "dense_tile_det_page": roofline[-1]["ms"],
+        "dense_page_det_plus_rec": roofline[-1]["ms"] + dense_rec_ms,
     }
     report["roofline"] = {
         "peak_bf16_tflops": RL.V5E_BF16_PEAK_TFLOPS,

@@ -530,16 +530,19 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
                     - jnp.min(jnp.where(gv, gtop, jnp.inf), axis=1))
         b_spread = (jnp.max(jnp.where(gv, gbot, -jnp.inf), axis=1)
                     - jnp.min(jnp.where(gv, gbot, jnp.inf), axis=1))
+        from ocrjax.utils.flatband import FLAT_MAX_GLYPHS, FLAT_TOL_FRAC
         ih = y1 - y0 + 1.0
-        tol = jnp.maximum(2.0, 0.18 * ih)
-        # ≤3 glyph segments only: the measured error class is 1-3-glyph
-        # strips (scripts/eval_xheight.py); on LONGER uniform strings
-        # (all-caps/digit runs) the shrink measurably hurt the straight
-        # tier (0.9758 → 0.9699 ungated), while ≥4-glyph strips carry
-        # enough shape context to decode at full height.
+        tol = jnp.maximum(2.0, FLAT_TOL_FRAC * ih)
+        # ≤FLAT_MAX_GLYPHS segments only: the measured error class is
+        # 1-3-glyph strips (scripts/eval_xheight.py); on LONGER uniform
+        # strings (all-caps/digit runs) the shrink measurably hurt the
+        # straight tier (0.9758 → 0.9699 ungated), while ≥4-glyph strips
+        # carry enough shape context to decode at full height. The
+        # constants + the numpy host/training twins live in
+        # utils/flatband (train/serve consistency).
         n_glyphs = jnp.sum(gv, axis=1)
         flat = (ok & (t_spread <= tol) & (b_spread <= tol)
-                & (n_glyphs <= 3))
+                & (n_glyphs <= FLAT_MAX_GLYPHS))
         yc = (y0 + y1) * 0.5
         half = ih / (2.0 * flat_frac)
         y0 = jnp.where(flat, yc - half, y0)
@@ -576,6 +579,21 @@ def _applied_x_margins(exp_quads, orig_quads):
     m_left = jnp.maximum(((ml_o - ml_e) * ex).sum(-1), 0.0)
     m_right = jnp.maximum(((mr_e - mr_o) * ex).sum(-1), 0.0)
     return m_left, m_right
+
+
+def _shift_into_bounds(quads: jnp.ndarray, bounds) -> jnp.ndarray:
+    """Translate each quad to fit [0, bounds] BEFORE the clip: the
+    flat-band expansion (ink_boxes flat_frac) can push a refined box past
+    the page/tile bound, and clipping alone would cut it — the band then
+    renders off-center and larger than flat_frac, exactly the geometry
+    the rescale exists to avoid (header/footer lines). Translation
+    preserves the box SIZE (the scale cue); boxes already inside their
+    bounds shift by zero, so this is a no-op for every non-expanded
+    refinement (the probe quad was bounds-clamped by expand_quads)."""
+    b = jnp.asarray(bounds, quads.dtype)
+    lo = jnp.maximum(0.0, -jnp.min(quads, axis=-2, keepdims=True))
+    hi = jnp.maximum(0.0, jnp.max(quads, axis=-2, keepdims=True) - b)
+    return quads + lo - hi
 
 
 def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
@@ -634,6 +652,8 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     refined = proj[..., :2] / denom
     refined = jnp.where(ok[:, None, None], refined, quads)
     if bounds is not None:
+        if flat_frac > 0.0:
+            refined = _shift_into_bounds(refined, bounds)
         refined = jnp.clip(refined, 0.0, jnp.asarray(bounds, refined.dtype))
     return refined
 
@@ -683,6 +703,8 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
         jnp.stack([xb2, yb2], -1), jnp.stack([xa2, yb2], -1)], axis=-2)
     refined = jnp.where(ok[:, None, None], refined, quads)
     if bounds is not None:
+        if flat_frac > 0.0:
+            refined = _shift_into_bounds(refined, bounds)
         refined = jnp.clip(refined, 0.0, jnp.asarray(bounds, refined.dtype))
     return refined
 

@@ -12,7 +12,6 @@ zero-cost (SURVEY.md §2.2 "mesh-ready DP").
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

@@ -170,17 +170,8 @@ def flat_snap_strip(strip: np.ndarray, frac: float,
     if not cols.any():
         return None
     band_h = b - a + 1
-    col_top = np.where(cols, band.argmax(axis=0), band_h)
-    col_bot = np.where(cols, band_h - 1 - band[::-1].argmax(axis=0), -1)
-    on = cols & ~np.concatenate([[False], cols[:-1]])
-    ng = int(on.sum())
-    if ng == 0 or ng > 3:
-        return None
-    seg = np.cumsum(on) - 1
-    gtop = [col_top[(seg == g) & cols].min() for g in range(ng)]
-    gbot = [col_bot[(seg == g) & cols].max() for g in range(ng)]
-    tol = max(2.0, 0.18 * band_h)
-    if max(gtop) - min(gtop) > tol or max(gbot) - min(gbot) > tol:
+    from ocrjax.utils.flatband import flat_band_gate
+    if not flat_band_gate(band):
         return None
     xs = np.where(cols)[0]
     crop = strip[a:b + 1, int(xs.min()):int(xs.max()) + 1]

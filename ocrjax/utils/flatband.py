@@ -1,0 +1,40 @@
+"""Shared flat-band gate (DESIGN.md §4f) — ONE definition of the
+"uniform-height glyphs" predicate used by three consumers that must stay
+in sync for train/serve consistency:
+
+  * ops/warp.ink_boxes (device, JAX — imports the constants),
+  * api_det._ink_crop_host (host crop mirror — calls flat_band_gate),
+  * train/synth.flat_snap_strip (training augmentation — calls it too).
+
+A band is "flat" when its ink columns segment (by blank columns) into at
+most FLAT_MAX_GLYPHS runs whose per-run ink tops and bottoms each agree
+within max(2, FLAT_TOL_FRAC·band_h) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FLAT_TOL_FRAC = 0.18
+FLAT_MAX_GLYPHS = 3
+
+
+def flat_band_gate(band_ink: np.ndarray) -> bool:
+    """band_ink: (band_h, W) bool ink mask of the row band. NumPy host
+    twin of the JAX formulation in ops/warp.ink_boxes."""
+    band_h, _ = band_ink.shape
+    cols = band_ink.sum(axis=0) >= 1
+    if not cols.any():
+        return False
+    col_top = np.where(cols, band_ink.argmax(axis=0), band_h)
+    col_bot = np.where(cols, band_h - 1 - band_ink[::-1].argmax(axis=0), -1)
+    on = cols & ~np.concatenate([[False], cols[:-1]])
+    ng = int(on.sum())
+    if ng == 0 or ng > FLAT_MAX_GLYPHS:
+        return False
+    seg = np.cumsum(on) - 1
+    gtop = [col_top[(seg == g) & cols].min() for g in range(ng)]
+    gbot = [col_bot[(seg == g) & cols].max() for g in range(ng)]
+    tol = max(2.0, FLAT_TOL_FRAC * band_h)
+    return (max(gtop) - min(gtop)) <= tol and \
+        (max(gbot) - min(gbot)) <= tol

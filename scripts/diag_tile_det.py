@@ -72,11 +72,7 @@ def main():
 
         @jax.jit
         def prob_fn(v, g):
-            x = preprocess.det_normalize_gray(
-                g.astype(jnp.float32) / 255.0 * 255.0,
-                cfg.det_mean, cfg.det_std) \
-                if False else preprocess.det_normalize_gray(
-                    g, cfg.det_mean, cfg.det_std)
+            x = preprocess.det_normalize_gray(g, cfg.det_mean, cfg.det_std)
             return model.apply(v, x)["prob"]
 
         @jax.jit

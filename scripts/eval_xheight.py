@@ -22,8 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 CASE_PAIRS = {frozenset(p) for p in
-              ["xX", "oO", "sS", "cC", "vV", "wW", "zZ", "0O", "uU",
-               "kK", "yY", "pP", "mM", "nn"]}
+              ["xX", "oO", "sS", "cC", "vV", "wW", "zZ", "uU",
+               "kK", "yY", "pP", "mM", "nN",
+               # shape twins whose only cue is size/stroke statistics
+               "0O", "1l", "1I", "lI", "l|", "I|", "1|", ".o", ".O"]}
 
 
 def case_flip(a, b):
