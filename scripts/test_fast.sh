@@ -9,30 +9,14 @@
 # in-process compilations (observed at test ~96 and ~250 of monolithic
 # runs, inside backend_compile_and_load — same class of host-LLVM
 # fragility as the disabled CPU compilation cache, tests/conftest.py), so
-# per-file processes bound the accumulation. On this 1-core host the tier
-# measures ~12-17 min (a <5 min tier is not reachable without the —
-# unsafe here — CPU compile cache); the cost is almost entirely XLA
-# compile time, so multi-core hosts divide it by their core count via
-# PYTEST_SHARDS parallel processes.
+# per-file processes bound the accumulation. Measured 1050 s on this
+# 1-core host (almost entirely XLA compile time; a <5 min tier would need
+# the — unsafe here — CPU compile cache). On multi-core hosts set
+# PYTEST_SHARDS=<cores> to run that many file-processes concurrently.
 #
-# Usage: sh scripts/test_fast.sh [extra pytest args]
+# Usage: [PYTEST_SHARDS=N] sh scripts/test_fast.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
-fail=0
-t0=$(date +%s)
-for f in tests/test_*.py; do
-    python -m pytest "$f" -q -m "not slow" -p no:cacheprovider \
-        --no-header -x "$@" > /tmp/ocrjax_fast_$(basename "$f").log 2>&1
-    rc=$?
-    # rc 5 = no tests collected (whole file slow/tpu-marked) — fine
-    if [ $rc -ne 0 ] && [ $rc -ne 5 ]; then
-        fail=1
-        echo "FAIL $f (rc=$rc)"
-        tail -15 /tmp/ocrjax_fast_$(basename "$f").log
-    else
-        tail -1 /tmp/ocrjax_fast_$(basename "$f").log \
-            | sed "s|^|$(basename "$f"): |"
-    fi
-done
-echo "fast tier: $(( $(date +%s) - t0 ))s total, fail=$fail"
-exit $fail
+: "${PYTEST_SHARDS:=1}"
+MARK="not slow" TIER=fast SHARDS="$PYTEST_SHARDS" \
+    sh scripts/_test_tier.sh "$@"
