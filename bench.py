@@ -143,6 +143,12 @@ def main():
                                      2),
         "dense_lines_per_sec": round(report.get("dense_lines_per_sec", 0.0),
                                      0),
+        "dense_pages_per_sec_device": round(
+            report.get("dense_pages_per_sec_device", 0.0), 2),
+        # measured tunnel state at run start — read every link-bound
+        # number above against it (healthy ≈ 25 ms RTT / 50+ MB/s;
+        # congested episodes reach 40+ ms / <20 MB/s)
+        "link_probe": report.get("link_probe", {}),
     }))
 
 

@@ -46,6 +46,30 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     from ocrjax.utils.profiling import StageTimer
     from ocrjax.train import synth
 
+    # Link-state probe FIRST (before any compile): the host↔TPU tunnel's
+    # RTT and uplink bandwidth swing 2-10x between runs (DESIGN.md §2) and
+    # every link-bound number below must be read against them. ~1 s cost.
+    probe_fn = jax.jit(lambda x: x + 1)
+    pd = jnp.asarray(np.zeros(8, np.float32))
+    np.asarray(probe_fn(pd))
+    rtts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        np.asarray(probe_fn(pd))
+        rtts.append(time.perf_counter() - t0)
+    up = np.zeros(4 * 1024 * 1024, np.uint8)
+    ups = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(probe_fn(jnp.asarray(up).astype(jnp.float32)[:1]))
+        ups.append(time.perf_counter() - t0)
+    link_probe = {
+        "rtt_ms": round(min(rtts) * 1e3, 1),
+        "upload_mb_s": round(4.0 / max(min(ups) - min(rtts), 1e-3), 1),
+    }
+    if progress is not None:
+        progress["partial"]["link_probe"] = link_probe
+
     engine = OcrEngine.from_pretrained(path=weights)
     # fused line capacity sized to the workload (bench pages have ≤8 lines;
     # 16 leaves 2x margin) — a deployment knob, like batch size
@@ -57,6 +81,7 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         "device": str(jax.devices()[0]),
         "pages": pages, "lines": lines,
         "upload_bits": cfg.upload_bits,
+        "link_probe": link_probe,
     }
 
     # ---- recognition throughput: crops/sec/chip ---------------------------
