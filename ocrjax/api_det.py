@@ -789,7 +789,7 @@ def ocr_fullres_batch(engine, images, beam: bool = False):
     boxes, scores, valid = fetch_det(packed_chunks, cfg)
 
     # ---- pool full-res crops across pages ---------------------------------
-    all_strips, prior, refs = [], [], []   # refs: (i, quads, ss, lo)
+    items = []
     for row, i in enumerate(live):
         nh, nw = valid_hw[i]
         cx = boxes[row, :, :, 0].mean(axis=1)
@@ -803,22 +803,44 @@ def ocr_fullres_batch(engine, images, beam: bool = False):
                     boxes[row, idx]))) > cfg.rot90_tilt_deg):
             results[i] = rot90_redo(engine, imgs[i], beam=beam)
             continue
+        items.append((i, imgs[i], scales[i], boxes[row], scores[row], idx))
+    for i, res in pooled_fullres_from_boxes(engine, items, beam=beam):
+        results[i] = res
+    return results
+
+
+def pooled_fullres_from_boxes(engine, items, beam: bool = False):
+    """ONE pooled recognize_strips round over several downscaled pages'
+    full-resolution host crops, from ALREADY-detected boxes.
+
+    items: [(key, img, scale, boxes (C,4,2) canvas coords, scores (C,),
+    idx)] — returns (key, OcrResult) pairs. Shared by ocr_fullres_batch
+    (which detects first) and bucketing.ocr_pages (which already has the
+    batch detection's candidates and only needs the full-res recognition
+    lane — without this, the bucketed path recognized scale<1 pages from
+    the blurry canvas while the single-page and fused paths used full-res
+    original crops)."""
+    from ocrjax.api import OcrResult
+
+    all_strips, prior, refs = [], [], []   # refs: (key, quads, ss, lo)
+    out = []
+    for gi, (key, img, scale, boxes_i, scores_i, idx) in enumerate(items):
         quads_orig, strips, ss = _fullres_strips(
-            engine, imgs[i], scales[i], boxes[row], scores[row], idx)
+            engine, img, scale, boxes_i, scores_i, idx)
         if not strips:
-            results[i] = OcrResult(lines=[])
+            out.append((key, OcrResult(lines=[])))
             continue
-        refs.append((i, quads_orig, ss, len(all_strips)))
+        refs.append((key, quads_orig, ss, len(all_strips)))
         all_strips.extend(strips)
-        prior.extend([row] * len(strips))
+        prior.extend([gi] * len(strips))
 
     if all_strips:
         rs = engine.recognize_strips(all_strips, beam=beam,
                                      prior_ids=prior)
-        for i, quads_orig, ss, lo in refs:
-            results[i] = _assemble_fullres_page(
-                quads_orig, ss, rs[lo:lo + len(quads_orig)])
-    return results
+        for key, quads_orig, ss, lo in refs:
+            out.append((key, _assemble_fullres_page(
+                quads_orig, ss, rs[lo:lo + len(quads_orig)])))
+    return out
 
 
 def _estimate_strip_widths(quads: np.ndarray, rec_height: int) -> np.ndarray:

@@ -369,6 +369,22 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
                 rot90_pages.append(i)
                 valid[i] = False
 
+    # Full-resolution lane for DOWNSCALED pages (scale < 1): the pooled
+    # canvas warp below would recognize them from the blurry resized
+    # canvas, while the single-page and fused paths crop the full-res
+    # ORIGINAL (api_det._ocr_from_original / ocr_fullres_batch) — batch
+    # results must not be worse than single-page results for the same
+    # image. These pages keep the batch detection's candidates and route
+    # recognition through ONE pooled full-res host-crop dispatch.
+    down_items = []
+    for i in range(B):
+        if ok[i] and scales[i] < 0.999 and valid[i].any():
+            j = np.where(valid[i])[0]
+            img = preprocess.load_image(
+                images[i], auto_invert=cfg.auto_invert)
+            down_items.append((i, img, scales[i], boxes[i], scores[i], j))
+            valid[i] = False
+
     # ---- pool quads across pages -------------------------------------------
     page_ids, quads, qscores, per_page_slots = [], [], [], []
     for i in range(B):
@@ -401,7 +417,14 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
                     text=l.text, confidence=l.confidence)
                 for l in rr.lines]
 
-    if not quads:  # every valid page was a rot90 reroute (or empty)
+    def _redo_down_pages():
+        from ocrjax.api_det import pooled_fullres_from_boxes
+        for i, res in pooled_fullres_from_boxes(
+                engine, down_items, beam=beam):
+            results[i] = res.lines
+
+    if not quads:  # every valid page was a rot90/full-res reroute (or empty)
+        _redo_down_pages()
         _redo_rot90_pages()
         return [OcrResult(lines=r) for r in results]
 
@@ -443,5 +466,6 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
                     text=texts[mine[k]], confidence=confs[mine[k]])
             for k in order
         ]
+    _redo_down_pages()
     _redo_rot90_pages()
     return [OcrResult(lines=r) for r in results]

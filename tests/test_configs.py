@@ -366,3 +366,28 @@ def test_c4_fused_downscaled_redo_pooled(monkeypatch):
         assert [l.text for l in a.lines] == [l.text for l in b.lines]
         for la, lb in zip(a.lines, b.lines):
             np.testing.assert_allclose(la.box.quad, lb.box.quad, atol=1e-3)
+
+
+def test_c4_bucketed_downscaled_matches_single_fullres():
+    """Bucketed (fused=False) batches of DOWNSCALED pages must decode like
+    the single-page staged path — i.e., from full-resolution original
+    crops via the pooled full-res lane, not from the blurry canvas
+    (api_det.pooled_fullres_from_boxes)."""
+    from ocrjax import api_det
+    from ocrjax.train.synth import render_page
+
+    cfg = TINY.replace(det_max_side=256, det_box_thresh=0.45)
+    eng = OcrEngine(config=cfg, charset=Charset("abcdef"), seed=0)
+    rng = np.random.RandomState(11)
+    imgs = []
+    for _ in range(3):
+        img, _, _ = render_page(rng, eng.charset, size=(400, 400),
+                                n_lines=(2, 3))
+        imgs.append(np.repeat(img[..., None], 3, axis=2))
+
+    batch = eng.ocr_batch(imgs)  # bucketed path
+    serial = [api_det.ocr(eng, im, force_staged=True) for im in imgs]
+    for a, b in zip(batch, serial):
+        assert [l.text for l in a.lines] == [l.text for l in b.lines]
+        for la, lb in zip(a.lines, b.lines):
+            np.testing.assert_allclose(la.box.quad, lb.box.quad, atol=1e-3)
