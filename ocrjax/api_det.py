@@ -127,7 +127,8 @@ def _truncate_det_jit(packed, C: int, Kf: int):
     return jnp.concatenate([boxes, scores, valid[:, :Kf], n_need], axis=1)
 
 
-def fetch_det(packed_chunks, cfg, C: int = None, adapt: dict = None):
+def fetch_det(packed_chunks, cfg, C: int = None, adapt: dict = None,
+              timer=None, stage: str = "det_fetch"):
     """Fetch detection payload chunks with the truncated-first-fetch
     protocol (cfg.det_fetch_candidates): pull only the first Kf candidate
     slots per page and refetch a chunk in full ONLY when one of its pages
@@ -146,6 +147,8 @@ def fetch_det(packed_chunks, cfg, C: int = None, adapt: dict = None):
     if not (0 < Kf < C) or (adapt or {}).get("full"):
         arr = (np.concatenate([np.asarray(p) for p in packed_chunks])
                if len(packed_chunks) > 1 else np.asarray(packed_chunks[0]))
+        if timer is not None:
+            timer.add_bytes(stage, arr.nbytes)
         out = unpack_det(arr, C)
         if adapt is not None and adapt.get("full") and 0 < Kf < C:
             rows, cols = np.nonzero(out[2])
@@ -161,8 +164,13 @@ def fetch_det(packed_chunks, cfg, C: int = None, adapt: dict = None):
     bs, ss, vs = [], [], []
     for s, p in zip(sliced, packed_chunks):
         arr = np.asarray(s)
+        if timer is not None:
+            timer.add_bytes(stage, arr.nbytes)
         if arr[:, Kf * 10].max() > Kf:  # a page used a slot past the slice
-            b, sc, v = unpack_det(np.asarray(p), C)
+            full = np.asarray(p)
+            if timer is not None:
+                timer.add_bytes(stage, full.nbytes)
+            b, sc, v = unpack_det(full, C)
             if adapt is not None:
                 adapt["full"] = True
         else:
@@ -606,7 +614,8 @@ def unpack_rec_flip(packed: np.ndarray, max_tokens: int):
 def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
                    ink_thresh: int = 128, min_count: int = 2,
                    margin_left_px: float = 0.0, margin_right_px: float = 0.0,
-                   x_margin_keep: float = 1.0, flat_frac: float = 0.0):
+                   x_margin_keep: float = 1.0, flat_frac: float = 0.0,
+                   box_h_px: float = 0.0):
     """Host mirror of ops.warp.ink_boxes for full-res original-image crops:
     tighten an (expanded) crop window to the ink band through its vertical
     center, with pads matching the on-device refinement (~2-3 px at the
@@ -659,8 +668,11 @@ def _ink_crop_host(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int,
         # gate: utils/flatband) — render the band at flat_frac of the
         # strip instead of full height, padding with true background
         # (255) so the glyphs stay centered even at image edges.
+        # box_h_px: detector-box line height (page px, same scale as the
+        # crop) — the case-aware condition (utils.flatband): caps bands
+        # near full box height keep the full-band mapping
         from ocrjax.utils.flatband import flat_band_gate
-        if flat_band_gate(ink[a:b + 1]):
+        if flat_band_gate(ink[a:b + 1], line_h=box_h_px):
             half = int(round(band_h / (2.0 * flat_frac)))
             yc = (a + b) // 2
             ca, cb = yc - half, yc + half
@@ -703,7 +715,8 @@ def _fullres_strips(engine, img, scale, boxes, scores, idx, gray_fn=None):
             margin_left_px=max(0.0, q[:, 0].min() - x0),
             margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
             x_margin_keep=cfg.rec_ink_x_margin_keep,
-            flat_frac=cfg.rec_flat_band_frac)
+            flat_frac=cfg.rec_flat_band_frac,
+            box_h_px=float(np.linalg.norm(q[3] - q[0])))
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))
     return quads_orig, strips, ss

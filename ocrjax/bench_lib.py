@@ -32,6 +32,42 @@ def _percentile(xs, q):
     return float(np.percentile(np.asarray(xs), q))
 
 
+def _probe_link(probe_fn, jnp, payload_mb: int = 16, rtt_iters: int = 8,
+                up_iters: int = 3):
+    """RTT + uplink bandwidth probe of the host↔TPU tunnel.
+
+    Bandwidth divides the payload by (upload time − RTT); when that delta
+    sits below a 5 ms timing floor (payload finished within RTT jitter)
+    the bandwidth is reported as None rather than a clamped fiction
+    (ADVICE r4: the old 4 MB/min-delta-1ms formula could print ~4000 MB/s
+    on a healthy link). The first upload call compiles the cast/slice for
+    the payload shape, so a warmup iteration runs untimed.
+    """
+    import time as _t
+    pd = jnp.asarray(np.zeros(8, np.float32))
+    np.asarray(probe_fn(pd))
+    rtts = []
+    for _ in range(rtt_iters):
+        t0 = _t.perf_counter()
+        np.asarray(probe_fn(pd))
+        rtts.append(_t.perf_counter() - t0)
+    rtt = min(rtts)
+    up = np.zeros(payload_mb * 2**20, np.uint8)
+
+    def _upload():
+        t0 = _t.perf_counter()
+        np.asarray(probe_fn(jnp.asarray(up).astype(jnp.float32)[:1]))
+        return _t.perf_counter() - t0
+
+    _upload()  # warmup: compiles the big-shape cast/slice
+    delta = min(_upload() for _ in range(up_iters)) - rtt
+    return {
+        "rtt_ms": round(rtt * 1e3, 1),
+        "upload_mb_s": (round(payload_mb / delta, 1)
+                        if delta > 5e-3 else None),
+    }
+
+
 def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
               weights: Optional[str] = None, cpu: bool = False,
               width_bucket: int = 320,
@@ -48,25 +84,9 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
 
     # Link-state probe FIRST (before any compile): the host↔TPU tunnel's
     # RTT and uplink bandwidth swing 2-10x between runs (DESIGN.md §2) and
-    # every link-bound number below must be read against them. ~1 s cost.
+    # every link-bound number below must be read against them. ~1-2 s cost.
     probe_fn = jax.jit(lambda x: x + 1)
-    pd = jnp.asarray(np.zeros(8, np.float32))
-    np.asarray(probe_fn(pd))
-    rtts = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        np.asarray(probe_fn(pd))
-        rtts.append(time.perf_counter() - t0)
-    up = np.zeros(4 * 1024 * 1024, np.uint8)
-    ups = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(probe_fn(jnp.asarray(up).astype(jnp.float32)[:1]))
-        ups.append(time.perf_counter() - t0)
-    link_probe = {
-        "rtt_ms": round(min(rtts) * 1e3, 1),
-        "upload_mb_s": round(4.0 / max(min(ups) - min(rtts), 1e-3), 1),
-    }
+    link_probe = _probe_link(probe_fn, jnp)
     if progress is not None:
         progress["partial"]["link_probe"] = link_probe
 
@@ -135,15 +155,33 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
         imgs.append(np.repeat(page[..., None], 3, axis=2))
 
     stage_reports: Dict[str, Dict] = {}
+    windows_detail: list = []
 
     def window(path: str) -> float:
+        # Per-window link probe (VERDICT r4 next #4): a cheap RTT + 8 MB
+        # upload measurement immediately before each timed window, plus
+        # the window's own fetch ms/bytes from the stage timer, so the
+        # median-vs-peak gap is attributable from the artifact alone —
+        # congestion onset (probe degrades, bytes constant) vs code
+        # (probe steady, bytes or stage times move).
+        lp = _probe_link(probe_fn, jnp, payload_mb=8, rtt_iters=3,
+                         up_iters=2)
         engine.stage_timer = StageTimer()
         t0 = time.perf_counter()
         engine.ocr_batch(imgs, fused=(path == "fused"))
         dt = time.perf_counter() - t0
-        stage_reports[path] = engine.stage_timer.report()
+        rep = engine.stage_timer.report()
+        stage_reports[path] = rep
         engine.stage_timer = None
         pps = pages / dt
+        fk = "fused_fetch" if path == "fused" else "det_fetch"
+        windows_detail.append({
+            "path": path, "pages_per_sec": round(pps, 1),
+            "probe_rtt_ms": lp["rtt_ms"],
+            "probe_up_mb_s": lp["upload_mb_s"],
+            "fetch_ms": rep.get(fk, {}).get("total_ms"),
+            "fetch_mb": rep.get(fk, {}).get("mb"),
+        })
         if progress is not None:  # live feed for the bench.py watchdog
             progress["windows"].append(pps)
         return pps
@@ -328,4 +366,5 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     report["pages_per_sec_median"] = _percentile(all_windows, 50)
     report["e2e_batch_ms"] = pages / report["pages_per_sec"] * 1e3
     report["stages_last_window"] = stage_reports
+    report["windows_detail"] = windows_detail
     return report

@@ -268,8 +268,12 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
             pass
     with T.stage("rec_fetch_decode"):
         phost = np.asarray(pfetch)
+        if timer is not None:
+            timer.add_bytes("rec_fetch_decode", phost.nbytes)
         if t_eff < tokT and phost[:, t_eff].max(initial=0) > t_eff:
             phost, t_eff = np.asarray(pcat), tokT  # a line overflowed T_f
+            if timer is not None:
+                timer.add_bytes("rec_fetch_decode", phost.nbytes)
         off = 0
         for idx, out in pending:
             rows = phost[off: off + out.shape[0]]
@@ -326,8 +330,11 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
     # critical path.
     from ocrjax.fused import _get_prefetch_pool
 
+    decoded_originals: Dict[int, np.ndarray] = {}
+
     def _decode(lo, hi):
-        return preprocess.decode_chunk_to_gray(images, range(lo, hi), cfg)
+        return preprocess.decode_chunk_to_gray(
+            images, range(lo, hi), cfg, originals_out=decoded_originals)
 
     bounds = [(lo, min(lo + C, B)) for lo in range(0, B, C)]
     pending_decode = _get_prefetch_pool().submit(_decode, *bounds[0])
@@ -350,7 +357,7 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
         chunk_packed.append(packed)
 
     with T.stage("det_fetch"):
-        boxes, scores, valid = fetch_det(chunk_packed, cfg)
+        boxes, scores, valid = fetch_det(chunk_packed, cfg, timer=timer)
     for i in range(B):
         nh, nw = valid_hw[i]
         cx = boxes[i, :, :, 0].mean(axis=1)
@@ -380,8 +387,13 @@ def ocr_pages(engine, images: Sequence, beam: bool = False,
     for i in range(B):
         if ok[i] and scales[i] < 0.999 and valid[i].any():
             j = np.where(valid[i])[0]
-            img = preprocess.load_image(
-                images[i], auto_invert=cfg.auto_invert)
+            # detection's decode pass already kept the canonical full-res
+            # original for scale<1 pages (decode_chunk_to_gray
+            # originals_out) — no second serial decode (ADVICE r4)
+            img = decoded_originals.get(i)
+            if img is None:
+                img = preprocess.load_image(
+                    images[i], auto_invert=cfg.auto_invert)
             down_items.append((i, img, scales[i], boxes[i], scores[i], j))
             valid[i] = False
 

@@ -426,6 +426,14 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
             images, range(lo, hi), cfg,
             color_frac=cfg.fused_color_reroute_frac)
 
+    # Truncated-first-fetch (cfg.fetch_max_tokens): pull only the first T_f
+    # token columns per line; the full payload stays on device and is
+    # refetched per chunk only when some line's n_tokens exceeds T_f
+    # (bit-exact either way — sliced columns past n_tokens are CTC padding).
+    from ocrjax.ops.bytepack import truncate_tokens_jit
+    T = cfg.rec_max_tokens
+    T_f = cfg.fetch_max_tokens if 0 < cfg.fetch_max_tokens < T else 0
+    sliced = []
     prefetch = _get_prefetch_pool()
     bounds = [(lo, min(lo + C, B)) for lo in range(0, B, C)]
     pending_decode = prefetch.submit(_decode, *bounds[0])
@@ -439,27 +447,28 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
         wh = valid_hw[lo:hi, ::-1].astype(np.float32)
         with _stage("fused_dispatch"):
             try:
-                outs.append(dispatch(grays, wh))
+                o = dispatch(grays, wh)
             except Exception as e:  # noqa: BLE001 — OOM at dispatch
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                outs.append(None)  # retried with halving at fetch time
+                o = None  # retried with halving at fetch time
+            outs.append(o)
+            # Start THIS chunk's (truncated) device→host copy before the
+            # next chunk's decode wait: the download rides the otherwise
+            # idle link while later chunks decode and upload, so the
+            # fetch phase below only waits on the remainder — window wall
+            # approaches max(decode+dispatch, transfer), not their sum
+            # (VERDICT r4 next #8: host_decode and fused_fetch were
+            # serial phases on the 1-core driver host).
+            s = (o if o is None or not T_f
+                 else truncate_tokens_jit(o, lines_per_page, T, T_f))
+            if s is not None:
+                try:
+                    s.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            sliced.append(s)
         chunk_inputs.append((grays, wh))
-    # Truncated-first-fetch (cfg.fetch_max_tokens): pull only the first T_f
-    # token columns per line; the full payload stays on device and is
-    # refetched per chunk only when some line's n_tokens exceeds T_f
-    # (bit-exact either way — sliced columns past n_tokens are CTC padding).
-    from ocrjax.ops.bytepack import truncate_tokens_jit
-    T = cfg.rec_max_tokens
-    T_f = cfg.fetch_max_tokens if 0 < cfg.fetch_max_tokens < T else 0
-    sliced = [o if o is None or not T_f
-              else truncate_tokens_jit(o, lines_per_page, T, T_f)
-              for o in outs]
-    for s in sliced:
-        try:
-            s.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass
     chunks = []
     with _stage("fused_fetch"):
         for o, s, (grays, wh) in zip(outs, sliced, chunk_inputs):
@@ -472,10 +481,15 @@ def ocr_pages_fused(engine, images, lines_per_page: int = None,
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
                 arr, t_eff = fetch_halving(grays, wh), T
+            if timer is not None:
+                timer.add_bytes("fused_fetch", arr.nbytes)
             c = unpack_fused(arr, lines_per_page, t_eff,
                              try_flip=cfg.rec_try_flip)
             if t_eff < T and c["n_tokens"].max(initial=0) > t_eff:
-                c = unpack_fused(np.asarray(o), lines_per_page, T,
+                full = np.asarray(o)
+                if timer is not None:
+                    timer.add_bytes("fused_fetch", full.nbytes)
+                c = unpack_fused(full, lines_per_page, T,
                                  try_flip=cfg.rec_try_flip)
             chunks.append(c)
     if len(chunks) == 1:

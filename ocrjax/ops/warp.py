@@ -432,7 +432,7 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
               *, ink_thresh: float = 0.0, min_count: int = 2,
               pad_y: float = 2.0, pad_x: float = 3.0,
               x_lo=None, x_hi=None, gap_fill: float = 0.10,
-              flat_frac: float = 0.0):
+              flat_frac: float = 0.0, line_h=None):
     """Per-strip padded bbox of the ink band containing the vertical center.
 
     The contiguous-run-through-center rule rejects fragments of NEIGHBORING
@@ -452,6 +452,11 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     out, decoding '_' as ' '. Closing is bounded by the outermost ink, so
     a neighbor fragment separated by more than the gap stays rejected.
 
+    Returns (x0, y0, x1, y1, ok, flat): flat is the per-strip mask of
+    bands the flat-band rescale below actually fired on (all-False when
+    flat_frac == 0) — callers use it to keep flat-specific geometry
+    (e.g. the bounds translation) away from non-flat strips.
+
     flat_frac > 0 enables the FLAT-BAND (x-height-aware) rescale
     (cfg.rec_flat_band_frac): when every glyph in the strip shares the
     same ink top AND bottom (segmented by blank columns; tolerance
@@ -464,6 +469,13 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
     per-column) structure is used because a glyph's own outline ('x', 'o')
     makes column profiles non-flat; any ascender/descender/mixed-case
     content breaks per-glyph uniformity and keeps the full-band mapping.
+
+    line_h (optional, (N,) float strip rows): the full detector-box line
+    height per strip — enables the CASE-AWARE condition (utils.flatband
+    .FLAT_CASE_MAX_FRAC): only bands at x-height scale relative to the
+    line (band ≤ 0.46·line_h) rescale; caps/digit bands near full line
+    height keep the full-band mapping (VERDICT r4 next #3 — rescaling
+    caps created 'YO'→'Y0' shape-twin drift).
     """
     N, H, W = strips.shape
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
@@ -543,11 +555,16 @@ def ink_boxes(strips: jnp.ndarray, widths: jnp.ndarray,
         n_glyphs = jnp.sum(gv, axis=1)
         flat = (ok & (t_spread <= tol) & (b_spread <= tol)
                 & (n_glyphs <= FLAT_MAX_GLYPHS))
+        if line_h is not None:
+            from ocrjax.utils.flatband import FLAT_CASE_MAX_FRAC
+            flat &= ih <= FLAT_CASE_MAX_FRAC * line_h
         yc = (y0 + y1) * 0.5
         half = ih / (2.0 * flat_frac)
         y0 = jnp.where(flat, yc - half, y0)
         y1 = jnp.where(flat, yc + half, y1)
-    return x0 - pad_x, y0 - pad_y, x1 + pad_x, y1 + pad_y, ok
+    else:
+        flat = jnp.zeros((N,), bool)
+    return x0 - pad_x, y0 - pad_y, x1 + pad_x, y1 + pad_y, ok, flat
 
 
 def _ink_x_window(widths, m_left, m_right, keep: float):
@@ -637,10 +654,23 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
             h_orig = h_exp / (1.0 + 2.0 * fy)
             m_l = m_r = fx * h_orig * to_strip
         x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
-    x0, y0, x1, y1, ok = ink_boxes(
+    line_h = None
+    if flat_frac > 0.0:
+        # full line height in strip rows for the case-aware flat gate:
+        # the strip's H rows span the EXPANDED quad height, so the
+        # detector-box line height is H·h_orig/h_exp (nominal
+        # H/(1+2·fy) when the pre-expansion quads are unavailable)
+        h_exp = jnp.sqrt(jnp.sum((quads[:, 3] - quads[:, 0]) ** 2, -1))
+        if orig_quads is not None:
+            h_orig = jnp.sqrt(jnp.sum(
+                (orig_quads[:, 3] - orig_quads[:, 0]) ** 2, -1))
+            line_h = H * h_orig / jnp.maximum(h_exp, 1e-6)
+        elif margin_fracs is not None:
+            line_h = jnp.full((N,), H / (1.0 + 2.0 * margin_fracs[0]))
+    x0, y0, x1, y1, ok, flat = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
         pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi,
-        flat_frac=flat_frac)
+        flat_frac=flat_frac, line_h=line_h)
     heights = jnp.full((N,), rec_height, jnp.int32)
     Hs = solve_homographies(quads, heights, widths)           # strip→page
     us = jnp.stack([x0, x1, x1, x0], axis=1)                  # (N, 4)
@@ -653,7 +683,14 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     refined = jnp.where(ok[:, None, None], refined, quads)
     if bounds is not None:
         if flat_frac > 0.0:
-            refined = _shift_into_bounds(refined, bounds)
+            # translate ONLY the flat-expanded strips into bounds (the
+            # expansion may poke past the page/tile edge and clipping
+            # would destroy the size cue); non-flat refinements keep the
+            # pre-existing clip-only behavior (ADVICE r4: the shift ran
+            # on every refined quad once rec_flat_band_frac > 0)
+            refined = jnp.where(flat[:, None, None],
+                                _shift_into_bounds(refined, bounds),
+                                refined)
         refined = jnp.clip(refined, 0.0, jnp.asarray(bounds, refined.dtype))
     return refined
 
@@ -690,10 +727,20 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
             h_orig = (yb - ya) / (1.0 + 2.0 * fy)
             m_l = m_r = fx * h_orig / jnp.maximum(sx, 1e-6)
         x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
-    xs0, ys0, xs1, ys1, ok = ink_boxes(
+    line_h = None
+    if flat_frac > 0.0:
+        # case-aware flat gate: detector-box line height in strip rows
+        # (sy maps strip rows to page y — see refine_quads_to_ink)
+        if orig_quads is not None:
+            o_h = (orig_quads[..., 1].max(axis=-1)
+                   - orig_quads[..., 1].min(axis=-1))
+            line_h = o_h / jnp.maximum(sy, 1e-6)
+        elif margin_fracs is not None:
+            line_h = jnp.full((N,), H / (1.0 + 2.0 * margin_fracs[0]))
+    xs0, ys0, xs1, ys1, ok, flat = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
         pad_y=pad_y, pad_x=pad_x, x_lo=x_lo, x_hi=x_hi,
-        flat_frac=flat_frac)
+        flat_frac=flat_frac, line_h=line_h)
     ya2 = ya + ys0 * sy
     yb2 = ya + ys1 * sy
     xa2 = xa + xs0 * sx
@@ -704,7 +751,10 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     refined = jnp.where(ok[:, None, None], refined, quads)
     if bounds is not None:
         if flat_frac > 0.0:
-            refined = _shift_into_bounds(refined, bounds)
+            # flat strips only — see refine_quads_to_ink (ADVICE r4)
+            refined = jnp.where(flat[:, None, None],
+                                _shift_into_bounds(refined, bounds),
+                                refined)
         refined = jnp.clip(refined, 0.0, jnp.asarray(bounds, refined.dtype))
     return refined
 
@@ -725,7 +775,7 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
     new widths); strips with no detectable ink pass through unchanged.
     """
     N, H, W = strips.shape
-    x0, y0, x1, y1, ok = ink_boxes(
+    x0, y0, x1, y1, ok, _flat = ink_boxes(
         strips, widths, ink_thresh=ink_thresh, min_count=min_count,
         pad_y=pad_y, pad_x=pad_x)
 

@@ -186,7 +186,7 @@ def _get_decode_pool():
 
 
 def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
-                         color_frac: float = 0.0):
+                         color_frac: float = 0.0, originals_out=None):
     """Threaded host decode of a page chunk onto detection canvases.
 
     cv2 decode/resize/cvtColor release the GIL, so a thread pool cuts the
@@ -199,6 +199,11 @@ def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
     gets ok=False and a zero canvas. colorful[j] is True when color_frac>0
     and the page's strong-chroma fraction exceeds it (the fused path's
     color reroute signal).
+
+    originals_out: optional dict; DOWNSCALED pages (scale < 1) store their
+    canonical full-res RGB original under their `idxs` key, so the
+    full-resolution recognition lane reuses this decode instead of paying
+    a second serial one on the batch critical path (ADVICE r4).
     """
     n = len(idxs)
     S = cfg.det_max_side
@@ -208,6 +213,19 @@ def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
     ok = np.ones((n,), bool)
     colorful = [False] * n
     gf = gray_fn or to_gray
+
+    def _keep_original(j, arr):
+        if originals_out is None or scales[j] >= 0.999:
+            return
+        # canonicalize exactly as load_image does for arrays: 3-channel
+        # RGB, dark-ink-on-light polarity
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        elif arr.ndim == 3 and arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        if cfg.auto_invert and is_inverted(arr):
+            arr = np.asarray(255 - arr, np.uint8)
+        originals_out[idxs[j]] = arr
 
     def work(j):
         try:
@@ -221,12 +239,14 @@ def decode_chunk_to_gray(images, idxs, cfg, *, gray_fn=None,
                 _, scales[j], valid_hw[j], cfrac = native
                 if color_frac > 0 and cfrac > color_frac:
                     colorful[j] = True
+                _keep_original(j, arr)
                 return
             img = load_image(im, auto_invert=cfg.auto_invert)
             canvas, scales[j], valid_hw[j] = det_resize_to_canvas(img, cfg)
             grays[j] = gf(canvas)
             if color_frac > 0 and color_fraction(canvas) > color_frac:
                 colorful[j] = True
+            _keep_original(j, img)
         except Exception as e:  # noqa: BLE001 — per-page isolation
             ok[j] = False
             from ocrjax.utils.logging import get_logger, log_fields

@@ -275,7 +275,9 @@ def _fetch_group(engine, dispatched, depth: int = 0):
     if adapt is None:
         adapt = engine._det_fetch_adapt = {}
     try:
-        out = fetch_det([packed], tcfg, adapt=adapt)
+        out = fetch_det([packed], tcfg, adapt=adapt,
+                        timer=getattr(engine, "stage_timer", None),
+                        stage="tile_det_fetch")
         return [dev], out[0], out[1], out[2]
     except Exception as e:  # jaxlib raises XlaRuntimeError on OOM
         if "RESOURCE_EXHAUSTED" not in str(e) or depth >= 3 \
@@ -440,7 +442,8 @@ def _host_fallback_strips(engine, img, quads, host_idx):
             margin_left_px=max(0.0, q[:, 0].min() - x0),
             margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
             x_margin_keep=cfg.rec_ink_x_margin_keep,
-            flat_frac=cfg.rec_flat_band_frac)
+            flat_frac=cfg.rec_flat_band_frac,
+            box_h_px=float(np.linalg.norm(q[3] - q[0])))
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
     return strips
 
@@ -525,9 +528,19 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
             if page[1] is None:
                 results[page[0]] = OcrResult(lines=[])
                 continue
-            # heterogeneous tiles: budget in full-tile equivalents (px/T²)
-            n_tiles = sum(g.shape[0] * g.shape[1] * g.shape[2]
-                          for g in page[3]) / float(cfg.tile_size ** 2)
+            # heterogeneous tiles, in full-tile equivalents: the upload +
+            # det-transient terms scale with real pixel area, but the f32
+            # term is counted at a FULL tile per tile — phase 3 pads every
+            # remainder tile to (T, T) float32 before the pooled concat,
+            # so a remainder-heavy window's live f32 stack is full-sized
+            # regardless of pixel area (ADVICE r4: the fractional budget
+            # overshot tile_window_hbm_mb by ~35% on such windows).
+            area_terms = cfg.upload_bits / 8.0 + 12.0
+            per_full_tile = 4.0 + area_terms
+            n_tiles = sum(
+                g.shape[0] * (4.0 + area_terms * g.shape[1] * g.shape[2]
+                              / float(cfg.tile_size ** 2))
+                for g in page[3]) / per_full_tile
             if window and (first or budget + n_tiles > cap):
                 yield window
                 window, budget = [], 0

@@ -171,7 +171,10 @@ def flat_snap_strip(strip: np.ndarray, frac: float,
         return None
     band_h = b - a + 1
     from ocrjax.utils.flatband import flat_band_gate
-    if not flat_band_gate(band):
+    # line_h = the strip height: rendered training strips span the
+    # font-metric line box, so the case-aware condition matches the
+    # serving gate's band/detector-box ratio (utils.flatband)
+    if not flat_band_gate(band, line_h=float(H)):
         return None
     xs = np.where(cols)[0]
     crop = strip[a:b + 1, int(xs.min()):int(xs.max()) + 1]

@@ -22,6 +22,13 @@ class StageTimer:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.bytes: Dict[str, int] = defaultdict(int)
+
+    def add_bytes(self, name: str, nbytes: int) -> None:
+        """Attribute transferred bytes to a stage (fetch/upload stages call
+        this so bench windows are self-attributing: a slow window with few
+        MB fetched is link congestion, not payload growth)."""
+        self.bytes[name] += int(nbytes)
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -34,14 +41,17 @@ class StageTimer:
                 self.counts[name] += 1
 
     def report(self) -> Dict[str, Dict[str, float]]:
-        return {
-            name: {"total_ms": round(self.totals[name] * 1e3, 2),
-                   "calls": self.counts[name],
-                   "mean_ms": round(
-                       self.totals[name] / max(self.counts[name], 1) * 1e3,
-                       2)}
-            for name in sorted(self.totals)
-        }
+        out = {}
+        for name in sorted(self.totals):
+            entry = {"total_ms": round(self.totals[name] * 1e3, 2),
+                     "calls": self.counts[name],
+                     "mean_ms": round(
+                         self.totals[name] / max(self.counts[name], 1) * 1e3,
+                         2)}
+            if name in self.bytes:
+                entry["mb"] = round(self.bytes[name] / 2**20, 2)
+            out[name] = entry
+        return out
 
 
 @contextlib.contextmanager
