@@ -79,6 +79,8 @@ class OcrEngine:
         det_variables=None,
         cls_variables=None,
         seed: int = 0,
+        tile_det_variables=None,
+        tile_det_arch=None,
     ):
         self.config = config or OcrConfig()
         self.charset = charset or default_charset()
@@ -107,6 +109,11 @@ class OcrEngine:
                 jnp.full((1,), self.config.rec_width_buckets[0], jnp.int32))
         self.cls_variables = cls_variables
         self._det = None  # built lazily by detection methods (ocrjax.models.db)
+        # dedicated cheap tile-scale detector (VERDICT r4 next #1): loaded
+        # from assets/det_tile.safetensors when present; tiling._tile_forward
+        # routes C5 tile detection through it (cfg.tile_det_enable)
+        self.tile_det_variables = tile_det_variables
+        self.tile_det_arch = tile_det_arch
 
     def warn_untrained_cls(self):
         """One-time warning when rec_try_flip runs on a RANDOM-INIT
@@ -324,11 +331,20 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
     rec_p = os.path.join(path, "rec.safetensors")
     det_p = os.path.join(path, "det.safetensors")
     cls_p = os.path.join(path, "cls.safetensors")
+    tdet_p = os.path.join(path, "det_tile.safetensors")
     cs_p = os.path.join(path, "rec.charset.txt")
     charset = Charset.from_file(cs_p) if os.path.exists(cs_p) else None
     rec_v = W.load_variables(rec_p) if os.path.exists(rec_p) else None
     det_v = W.load_variables(det_p) if os.path.exists(det_p) else None
     cls_v = W.load_variables(cls_p) if os.path.exists(cls_p) else None
+    tdet_v = tdet_arch = None
+    if os.path.exists(tdet_p):
+        import json as _json
+        tdet_v = W.load_variables(tdet_p)
+        tdet_meta = W.load_metadata(tdet_p)
+        # the tile asset's metadata carries its OWN architecture only —
+        # it never feeds the engine-level OcrConfig
+        tdet_arch = _json.loads(tdet_meta.get("arch", "{}")) or None
     if config is None:
         import json
         cfg_dict = {}
@@ -347,7 +363,8 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
                         for k, v in cfg_dict.items()}
             config = OcrConfig(**cfg_dict)
     return cls(config=config, charset=charset, rec_variables=rec_v,
-               det_variables=det_v, cls_variables=cls_v, seed=seed)
+               det_variables=det_v, cls_variables=cls_v, seed=seed,
+               tile_det_variables=tdet_v, tile_det_arch=tdet_arch)
 
 
 OcrEngine.from_pretrained = classmethod(_from_pretrained)

@@ -299,20 +299,19 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     # section above. ceiling = P / (P·det_page_s + total_lines/crops_ps).
     from ocrjax import tiling as TL
     from ocrjax import preprocess as PP
-    from ocrjax.api_det import _det_state as _ds
     img0 = PP.load_image(dense_imgs[0], auto_invert=cfg.auto_invert)
     _, d_groups = TL._prep_page(engine, img0)
     d_fwd, _ = TL._tile_forward(engine)
-    d_st = _ds(engine)
+    d_vars = TL._tile_det_vars(engine)
     d_devs = [jnp.asarray(PP.pack_for_upload(g, cfg)) for g in d_groups]
 
     def _det_once():
-        # dispatch all shape groups, then materialize the (small) packed
-        # candidate payloads — block_until_ready alone has been observed
-        # returning early under the remote-TPU backend
-        outs = [d_fwd(d_st.variables, g) for g in d_devs]
-        for o in outs:
-            np.asarray(o)
+        # dispatch all shape groups, then materialize ONE device concat of
+        # the packed candidate payloads — mirroring the production window
+        # fetch (tiling._fetch_window), which pays a single link RTT for
+        # all of a window's shape groups
+        outs = [d_fwd(d_vars, g) for g in d_devs]
+        np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
 
     _det_once()
     d_times = []
@@ -329,7 +328,7 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     report["dense_pages_per_sec_device"] = len(dense_imgs) / dense_ceiling_s
     # dense tile-det roofline (sum over the page's shape groups)
     det_flops = sum(RL.xla_flops(
-        lambda g: d_fwd(d_st.variables, g), gd) for gd in d_devs)
+        lambda g: d_fwd(d_vars, g), gd) for gd in d_devs)
     roofline.append(RL.stage_entry(
         "dense_tile_det_page", det_flops, det_page_s))
     # per-page device-time normalization across the two e2e paths: the

@@ -235,6 +235,24 @@ class OcrConfig:
                                      # under detection double-buffering, so
                                      # size this at ≤ half the HBM you can
                                      # spare beyond params + rec pools.
+    tile_det_enable: bool = True     # use the dedicated cheap tile-scale
+                                     # detector (assets/det_tile.safetensors,
+                                     # ~5x fewer FLOPs than the flagship DB
+                                     # — the top compute sink of a dense C5
+                                     # page, DESIGN.md §6c) for tiled
+                                     # detection when its asset is loaded.
+                                     # False = tiles run the flagship det
+                                     # (pre-r5 behavior / A-B testing).
+    tile_blank_skip: bool = True     # host prescreen: drop tiles with no
+                                     # stroke-level contrast (max-min < 24
+                                     # luma levels) before upload — blank
+                                     # area of sparse high-res documents
+                                     # skips the link AND the det forward.
+                                     # Conservative by construction: any
+                                     # tile containing visible ink has far
+                                     # more contrast, and degraded scans'
+                                     # sensor noise alone exceeds it (such
+                                     # pages simply keep all tiles).
     tile_max_candidates: int = 384   # per-TILE candidate cap for the C5
                                      # path: a dense 2048px tile holds 250+
                                      # short lines (BASELINE.json:11

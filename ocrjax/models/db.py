@@ -199,3 +199,30 @@ def create_db(config, channels: Sequence[int] = None) -> DBDetector:
         dtype=jnp.dtype(config.compute_dtype),
         param_dtype=jnp.dtype(config.param_dtype),
     )
+
+
+# Architecture presets addressable from asset metadata / trainer flags.
+# "tile": the cheap tile-scale detector (VERDICT r4 next #1) — the dense C5
+# roofline put 540 GF/page in the flagship backbone's residual stages
+# (DESIGN.md §6c), which halved channels + single blocks cut ~5x while the
+# stride-1 head keeps full-resolution geometry (the stride-2/4 heads
+# under-recalled at the 14-30 px dense glyph sizes, DESIGN.md §5b).
+DB_ARCHS = {
+    "flagship": dict(channels=(64, 128, 256, 512), blocks_per_stage=2,
+                     inner=96, head_stride=1),
+    "tile": dict(channels=(32, 64, 128, 256), blocks_per_stage=1,
+                 inner=64, head_stride=1),
+}
+
+
+def create_db_arch(config, arch: Dict) -> DBDetector:
+    """Build a DBDetector from an explicit architecture dict (a DB_ARCHS
+    preset or the `arch` JSON persisted in a det asset's metadata)."""
+    return DBDetector(
+        channels=tuple(arch.get("channels", (64, 128, 256, 512))),
+        inner=int(arch.get("inner", 96)),
+        blocks_per_stage=int(arch.get("blocks_per_stage", 2)),
+        head_stride=int(arch.get("head_stride", 1)),
+        dtype=jnp.dtype(config.compute_dtype),
+        param_dtype=jnp.dtype(config.param_dtype),
+    )

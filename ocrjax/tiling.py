@@ -190,7 +190,24 @@ def _tile_forward(engine):
         return cached[1], cached[2]
     tcfg = cfg.replace(det_max_candidates=max(
         cfg.det_max_candidates, cfg.tile_max_candidates))
-    st = _det_state(engine)
+    # Dedicated tile-scale detector (VERDICT r4 next #1): when the cheap
+    # variant asset is loaded and enabled, tiles run IT instead of the
+    # flagship DB — ~5x fewer FLOPs on the top compute sink of a dense C5
+    # page (DESIGN.md §6c). Its head stride flows into tcfg so candidate
+    # coordinates scale back to tile pixels (db_boxes.coord_stride).
+    arch = getattr(engine, "tile_det_arch", None)
+    use_tile_det = (cfg.tile_det_enable
+                    and getattr(engine, "tile_det_variables", None)
+                    is not None)
+    if use_tile_det:
+        from ocrjax.models.db import create_db_arch
+        tcfg = tcfg.replace(det_head_stride=int(
+            (arch or {}).get("head_stride", 1)))
+        model = create_db_arch(cfg, arch or {})
+        int8 = False  # measured a wash at tile shapes (DESIGN.md §6b)
+    else:
+        model = _det_state(engine).model
+        int8 = cfg.det_int8
 
     @jax.jit
     def fwd(variables, tiles_u8):
@@ -198,12 +215,22 @@ def _tile_forward(engine):
         x = preprocess.det_normalize_gray(
             tiles_u8, cfg.det_mean, cfg.det_std)
         from ocrjax.models import db_int8
-        prob = db_int8.apply_prob(st.model, variables, x, cfg.det_int8)
+        prob = db_int8.apply_prob(model, variables, x, int8)
         return pack_det(jax.vmap(
             lambda p: db_boxes.extract_boxes_from_config(p, tcfg))(prob))
 
     engine._tile_fwd_cache = (cfg, fwd, tcfg)
     return fwd, tcfg
+
+
+def _tile_det_vars(engine):
+    """The weights matching _tile_forward's model: the dedicated tile
+    detector's when active, the flagship detection stage's otherwise."""
+    from ocrjax.api_det import _det_state
+    if (engine.config.tile_det_enable
+            and getattr(engine, "tile_det_variables", None) is not None):
+        return engine.tile_det_variables
+    return _det_state(engine).variables
 
 
 def _prep_page(engine, img: np.ndarray):
@@ -227,6 +254,23 @@ def _prep_page(engine, img: np.ndarray):
     ph = max(h, max(y + th for (y, _, th, _) in corners))
     pw = max(w, max(x + tw for (_, x, _, tw) in corners))
     padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
+    if cfg.tile_blank_skip and len(corners) > 1:
+        # Blank-tile prescreen (VERDICT r4 next #1): a tile with no
+        # stroke-level luma contrast cannot contain text — skip its
+        # upload AND det forward entirely. The <24-level rule is
+        # conservative by construction: any tile holding visible ink has
+        # far more contrast, and even sensor noise on degraded scans
+        # exceeds it (such pages simply keep every tile). Downstream
+        # stays consistent because corners/groups shrink together: the
+        # dropped tiles can host no candidates and no quad's expanded
+        # crop (a quad needs ink, so some kept tile fully contains it —
+        # the same containment the assignment uses).
+        def _has_ink(y, x, th, tw):
+            t = padded[y:y + th, x:x + tw]
+            sub = t[::4, ::4]
+            return int(sub.max()) - int(sub.min()) >= 24
+        kept = [c for c in corners if _has_ink(*c)]
+        corners = kept if kept else corners[:1]  # ≥1 tile: empty result
     groups = []
     k = 0
     while k < len(corners):
@@ -244,12 +288,9 @@ def _dispatch_group(engine, tiles: np.ndarray):
     """Upload one shape group's tiles and launch the detection program
     WITHOUT reading the result (dispatch ahead, fetch late — DESIGN.md
     §2): returns (dev, packed, tiles) for _fetch_page."""
-    from ocrjax.api_det import _det_state
-
     fwd, _ = _tile_forward(engine)
-    st = _det_state(engine)
     dev = jnp.asarray(preprocess.pack_for_upload(tiles, engine.config))
-    packed = fwd(st.variables, dev)
+    packed = fwd(_tile_det_vars(engine), dev)
     try:
         packed.copy_to_host_async()
     except (AttributeError, NotImplementedError):
@@ -588,9 +629,43 @@ def ocr_tiled_batch(engine, images, beam: bool = False,
         rows = [[] for _ in range(n_pages)]
         devs = []
         row_off = 0
-        for spans, d in disp:
-            with T.stage("tile_det_fetch"):
-                dv, b, s, v = _fetch_group(engine, d)
+        # ONE link round trip for ALL shape groups: packed candidate rows
+        # share one width across tile shapes (the cap lives in tcfg, not
+        # the tile dims), so the groups concat on device and cross as a
+        # single buffer — n_groups−1 fewer RTTs per window (~23 ms each on
+        # this tunnel; a het-tile dense page has 2+ groups). Device OOM
+        # falls back to the per-group halving fetch.
+        group_results = None
+        if len(disp) > 1:
+            try:
+                from ocrjax.api_det import fetch_det
+                _, tcfg = _tile_forward(engine)
+                adapt = getattr(engine, "_det_fetch_adapt", None)
+                if adapt is None:
+                    adapt = engine._det_fetch_adapt = {}
+                pcat = jnp.concatenate([d[1] for _, d in disp])
+                with T.stage("tile_det_fetch"):
+                    b_all, s_all, v_all = fetch_det(
+                        [pcat], tcfg, adapt=adapt,
+                        timer=getattr(engine, "stage_timer", None),
+                        stage="tile_det_fetch")
+                group_results, off = [], 0
+                for _, d in disp:
+                    n_g = d[1].shape[0]
+                    group_results.append(
+                        ([d[0]], b_all[off:off + n_g],
+                         s_all[off:off + n_g], v_all[off:off + n_g]))
+                    off += n_g
+            except Exception as e:  # noqa: BLE001 — OOM → per-group path
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                group_results = None
+        for gi, (spans, d) in enumerate(disp):
+            if group_results is not None:
+                dv, b, s, v = group_results[gi]
+            else:
+                with T.stage("tile_det_fetch"):
+                    dv, b, s, v = _fetch_group(engine, d)
             devs.extend(dv)
             off = 0
             for pi, n in spans:

@@ -168,6 +168,7 @@ def train_det(
     init_variables=None,
     degrade: float = 0.0,
     p_dense: float = 0.0,
+    arch: Optional[Dict] = None,
 ) -> DetTrainResult:
     """Train on `size`-px synthetic pages (conv translation invariance makes
     the weights valid at the full det_max_side canvas). p_word mixes
@@ -176,7 +177,16 @@ def train_det(
     degradation + dense-page mixing (det_gt.make_det_batch)."""
     config = config or OcrConfig()
     charset = charset or default_charset()
-    model = create_db(config)
+    if arch is not None:
+        # variant training (models.db.DB_ARCHS, e.g. the cheap tile-scale
+        # detector): the head stride must flow into the config so the gt
+        # pooling above and the eval's coord_stride match the model
+        from ocrjax.models.db import create_db_arch
+        config = config.replace(
+            det_head_stride=int(arch.get("head_stride", 1)))
+        model = create_db_arch(config, arch)
+    else:
+        model = create_db(config)
 
     variables = init_variables or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), jnp.float32))

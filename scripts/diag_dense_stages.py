@@ -77,12 +77,13 @@ def main():
     img0 = preprocess.load_image(imgs[0], auto_invert=cfg.auto_invert)
     corners, groups = tiling._prep_page(eng, img0)
     fwd, _ = tiling._tile_forward(eng)
+    dvars = tiling._tile_det_vars(eng)
     st = _det_state(eng)
     devs = [jnp.asarray(preprocess.pack_for_upload(g, cfg))
             for g in groups]
 
     def det_once():
-        outs = [fwd(st.variables, g) for g in devs]
+        outs = [fwd(dvars, g) for g in devs]
         for o in outs:
             np.asarray(o)  # block (see bench_lib on block_until_ready)
 

@@ -36,6 +36,10 @@ def main():
                          "training page (synth.degrade_image — GT maps stay "
                          "exact; the clean-trained detector collapses to "
                          "0.54 recall on degraded pages)")
+    ap.add_argument("--arch", default=None, choices=(None, "flagship", "tile"),
+                    help="architecture preset (models.db.DB_ARCHS); 'tile' "
+                         "trains the cheap tile-scale detector and defaults "
+                         "--out to assets/det_tile.safetensors")
     ap.add_argument("--p-dense", type=float, default=0.0,
                     help="probability of a DENSE page layout per training "
                          "page (synth.render_page_dense — the C5 hundreds-"
@@ -57,10 +61,17 @@ def main():
     from ocrjax.train.det_trainer import train_det
 
     config = OcrConfig(det_head_stride=args.head_stride)
+    arch = None
+    asset_name = "det.safetensors"
+    if args.arch:
+        from ocrjax.models.db import DB_ARCHS
+        arch = dict(DB_ARCHS[args.arch])
+        if args.arch != "flagship":
+            asset_name = f"det_{args.arch}.safetensors"
     init_variables = None
     out_default = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "assets", "det.safetensors")
+        "assets", asset_name)
     if args.finetune:
         init_variables = W.load_variables(out_default)
         print("warm-starting from", out_default, flush=True)
@@ -70,19 +81,24 @@ def main():
         log=lambda m: print(m, flush=True),
         p_word=args.p_word, init_variables=init_variables,
         ckpt_dir=args.ckpt_dir,
-        degrade=args.degrade, p_dense=args.p_dense,
+        degrade=args.degrade, p_dense=args.p_dense, arch=arch,
     )
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "assets", "det.safetensors")
+    out = args.out or out_default
     import json
-    W.save_variables(out, result.variables, metadata={
+    meta = {
         "kind": "db",
         "recall": f"{result.recall:.4f}",
         "precision": f"{result.precision:.4f}",
         "steps": str(args.steps),
         "config": json.dumps({"det_head_stride": args.head_stride}),
-    })
+    }
+    if arch is not None:
+        # variant assets carry their full architecture so the engine can
+        # rebuild the exact model (api._from_pretrained / tiling)
+        meta["arch"] = json.dumps(arch)
+        meta["config"] = json.dumps(
+            {"det_head_stride": int(arch.get("head_stride", 1))})
+    W.save_variables(out, result.variables, metadata=meta)
     print("saved", out, "recall", result.recall, "precision",
           result.precision, flush=True)
 
