@@ -162,3 +162,16 @@ def make_sharded_fused_ocr_fn(engine, mesh: Mesh, lines_per_page: int = 32,
     return jax.jit(inner,
                    in_shardings=(rep, rep, rep, bs, rep, bs),
                    out_shardings=bs)
+
+
+def shard_tiled_serving(engine, mesh: Optional[Mesh]) -> None:
+    """Enable (or disable, mesh=None) dp-sharded C5 tiled serving on an
+    engine: every tile-detection dispatch of ocr_tiled/ocr_tiled_batch
+    pads its tile stack to a dp multiple and runs the tile program with
+    the tile axis sharded over dp (tiling._dispatch_group). Per-tile
+    chains are independent, so GSPMD inserts zero collectives — detection
+    throughput scales with the dp size; the host-side seam merge and the
+    pooled recognition pipeline are unchanged (SURVEY.md §2.2: the tile
+    axis is the C5 path's natural DP shard axis)."""
+    engine.tile_mesh = mesh
+    engine._tile_fwd_sharded_cache = None

@@ -289,13 +289,49 @@ def _dispatch_group(engine, tiles: np.ndarray):
     WITHOUT reading the result (dispatch ahead, fetch late — DESIGN.md
     §2): returns (dev, packed, tiles) for _fetch_page."""
     fwd, _ = _tile_forward(engine)
-    dev = jnp.asarray(preprocess.pack_for_upload(tiles, engine.config))
-    packed = fwd(_tile_det_vars(engine), dev)
+    n = len(tiles)
+    mesh = getattr(engine, "tile_mesh", None)
+    if mesh is None:
+        dev = jnp.asarray(preprocess.pack_for_upload(tiles, engine.config))
+        packed = fwd(_tile_det_vars(engine), dev)
+    else:
+        # dp-sharded C5 serving (parallel.mesh.shard_tiled_serving): the
+        # tile axis is the natural DP axis — per-tile chains are
+        # independent, so GSPMD inserts zero collectives and detection
+        # throughput scales with the dp size. Tiles pad to a dp multiple
+        # with WHITE (no-ink) rows; the [:n] slice drops their candidate
+        # rows before anything is fetched.
+        from ocrjax.parallel import mesh as M
+        dp = mesh.shape[M.DP_AXIS]
+        pad = (-n) % dp
+        arr = tiles if not pad else np.concatenate(
+            [tiles, np.full((pad,) + tiles.shape[1:], 255, tiles.dtype)])
+        fwd_s = _tile_forward_sharded(engine, mesh)
+        dev = jax.device_put(
+            preprocess.pack_for_upload(arr, engine.config),
+            M.batch_sharding(mesh))
+        packed = fwd_s(_tile_det_vars(engine), dev)[:n]
     try:
         packed.copy_to_host_async()
     except (AttributeError, NotImplementedError):
         pass
     return dev, packed, tiles
+
+
+def _tile_forward_sharded(engine, mesh):
+    """The _tile_forward program jit'd over the mesh (tile axis dp-sharded,
+    params replicated, packed candidates dp-sharded); cached per
+    (config, mesh)."""
+    from ocrjax.parallel import mesh as M
+    cfg = engine.config
+    cached = getattr(engine, "_tile_fwd_sharded_cache", None)
+    if cached is not None and cached[0] == (cfg, mesh):
+        return cached[1]
+    inner = _tile_forward(engine)[0].__wrapped__
+    bs, rep = M.batch_sharding(mesh), M.replicated(mesh)
+    fwd_s = jax.jit(inner, in_shardings=(rep, bs), out_shardings=bs)
+    engine._tile_fwd_sharded_cache = ((cfg, mesh), fwd_s)
+    return fwd_s
 
 
 def _dispatch_page(engine, groups) -> list:

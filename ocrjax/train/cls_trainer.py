@@ -108,6 +108,7 @@ def train_cls(
     engine=None,
     crop_pages: int = 48,
     p_crop: float = 0.5,
+    mesh=None,
 ) -> ClsTrainResult:
     """widths: serving strips land in EVERY rec width bucket, so batches
     cycle through these (one static program per width — same bucketing the
@@ -141,6 +142,12 @@ def train_cls(
         jax.random.PRNGKey(seed),
         jnp.zeros((1, config.rec_height, widths[0], 1), jnp.float32),
         jnp.full((1,), widths[0], jnp.int32))
+    if mesh is not None:
+        # same delegation as the rec/det trainers (parallel.mesh): GSPMD
+        # shards the batch over dp and psums the grads; the jitted step is
+        # unchanged (sharding flows from the operands)
+        from ocrjax.parallel import mesh as M
+        variables = M.shard_params(mesh, variables)
     params = variables["params"]
     tx = optax.adam(optax.schedules.cosine_decay_schedule(
         lr, steps, alpha=0.1))
@@ -169,9 +176,13 @@ def train_cls(
     for it in range(steps):
         lb = make_batch(it)
         labels = flip_half(rng, lb)
-        params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(lb.images),
-            jnp.asarray(lb.widths), jnp.asarray(labels))
+        if mesh is None:
+            bd = (jnp.asarray(lb.images), jnp.asarray(lb.widths),
+                  jnp.asarray(labels))
+        else:
+            from ocrjax.parallel import mesh as M
+            bd = M.shard_batch(mesh, (lb.images, lb.widths, labels))
+        params, opt_state, loss = step(params, opt_state, *bd)
         if it % log_every == 0:
             history.append((it, float(loss)))
             if verbose:

@@ -169,6 +169,7 @@ def train_det(
     degrade: float = 0.0,
     p_dense: float = 0.0,
     arch: Optional[Dict] = None,
+    mesh=None,
 ) -> DetTrainResult:
     """Train on `size`-px synthetic pages (conv translation invariance makes
     the weights valid at the full det_max_side canvas). p_word mixes
@@ -190,6 +191,13 @@ def train_det(
 
     variables = init_variables or model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3), jnp.float32))
+    if mesh is not None:
+        # same delegation as the rec trainer (parallel.mesh): params laid
+        # out by shard_params (dp-replicated, tp rules for conv kernels),
+        # batches dp-sharded below; GSPMD inserts the grad psum. The jitted
+        # step itself is unchanged — sharding flows from the operands.
+        from ocrjax.parallel import mesh as M
+        variables = M.shard_params(mesh, variables)
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = optax.chain(
         optax.clip_by_global_norm(5.0),
@@ -206,6 +214,13 @@ def train_det(
         if latest:
             start_step, params, batch_stats, opt_state = C.load_train_state(
                 latest, opt_state)
+            if mesh is not None:
+                from ocrjax.parallel import mesh as M
+                sharded = M.shard_params(
+                    mesh, {"params": params, "batch_stats": batch_stats})
+                params, batch_stats = (sharded["params"],
+                                       sharded["batch_stats"])
+                opt_state = jax.tree.map(jnp.asarray, opt_state)
             log(f"[det] resumed from {latest} at step {start_step}")
     rng = np.random.RandomState(seed + start_step)
 
@@ -215,10 +230,14 @@ def train_det(
         imgs, gts, gtt, gtm = det_gt.make_det_batch(
             rng, charset, batch_size, size, p_word=p_word,
             degrade=degrade, p_dense=p_dense)
+        if mesh is None:
+            batch_dev = (jnp.asarray(imgs), jnp.asarray(gts),
+                         jnp.asarray(gtt), jnp.asarray(gtm))
+        else:
+            from ocrjax.parallel import mesh as M
+            batch_dev = M.shard_batch(mesh, (imgs, gts, gtt, gtm))
         params, batch_stats, opt_state, loss, parts = step_fn(
-            params, batch_stats, opt_state,
-            jnp.asarray(imgs), jnp.asarray(gts), jnp.asarray(gtt),
-            jnp.asarray(gtm))
+            params, batch_stats, opt_state, *batch_dev)
         if step % log_every == 0 or step == steps:
             history.append((step, float(loss)))
             log(f"[det {step}/{steps}] loss={float(loss):.4f} "

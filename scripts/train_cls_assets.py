@@ -28,6 +28,8 @@ def main():
                          "teaching the warp domain")
     ap.add_argument("--p-crop", type=float, default=0.5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--mesh", default=None, metavar="DP[,TP]",
+                    help="run the train step over an N-chip DP[,TP] device mesh (parallel.mesh): '8' = 8-way data parallel, '4,2' = dp=4 x tp=2. On 1 real chip use the CPU-mesh trick (XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu) to validate sharding.")
     args = ap.parse_args()
 
     from ocrjax import weights as W
@@ -39,11 +41,18 @@ def main():
     # half the batches — see train_cls's warp-domain-gap note
     engine = OcrEngine.from_pretrained()
     cfg = engine.config
+    mesh = None
+    if args.mesh:
+        from ocrjax.parallel import mesh as M
+        parts = [int(v) for v in args.mesh.split(",")]
+        n_dp, n_tp = parts[0], (parts[1] if len(parts) > 1 else 1)
+        mesh = M.make_mesh(n_dp=n_dp, n_tp=n_tp)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
     res = train_cls(config=cfg, charset=engine.charset, steps=args.steps,
                     batch_size=args.batch, widths=tuple(args.widths),
                     seed=args.seed, verbose=True, eval_batches=30,
                     engine=engine, crop_pages=args.crop_pages,
-                    p_crop=args.p_crop)
+                    p_crop=args.p_crop, mesh=mesh)
     print(f"final orientation accuracy (serving distribution): "
           f"{res.accuracy:.4f}")
 

@@ -40,6 +40,8 @@ def main():
                     help="architecture preset (models.db.DB_ARCHS); 'tile' "
                          "trains the cheap tile-scale detector and defaults "
                          "--out to assets/det_tile.safetensors")
+    ap.add_argument("--mesh", default=None, metavar="DP[,TP]",
+                    help="run the train step over an N-chip DP[,TP] device mesh (parallel.mesh): '8' = 8-way data parallel, '4,2' = dp=4 x tp=2. On 1 real chip use the CPU-mesh trick (XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu) to validate sharding.")
     ap.add_argument("--p-dense", type=float, default=0.0,
                     help="probability of a DENSE page layout per training "
                          "page (synth.render_page_dense — the C5 hundreds-"
@@ -75,13 +77,20 @@ def main():
     if args.finetune:
         init_variables = W.load_variables(out_default)
         print("warm-starting from", out_default, flush=True)
+    mesh = None
+    if args.mesh:
+        from ocrjax.parallel import mesh as M
+        parts = [int(v) for v in args.mesh.split(",")]
+        n_dp, n_tp = parts[0], (parts[1] if len(parts) > 1 else 1)
+        mesh = M.make_mesh(n_dp=n_dp, n_tp=n_tp)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
     result = train_det(
         config=config, charset=default_charset(), steps=args.steps,
         batch_size=args.batch, size=args.size, lr=args.lr, seed=args.seed,
         log=lambda m: print(m, flush=True),
         p_word=args.p_word, init_variables=init_variables,
         ckpt_dir=args.ckpt_dir,
-        degrade=args.degrade, p_dense=args.p_dense, arch=arch,
+        degrade=args.degrade, p_dense=args.p_dense, arch=arch, mesh=mesh,
     )
     out = args.out or out_default
     import json

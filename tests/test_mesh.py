@@ -110,12 +110,29 @@ def test_sharded_train_step_runs_and_matches_single():
             float(loss_sharded), float(loss_single), rtol=1e-4,
             err_msg=f"step {k}")
 
-    # Param-level parity: adam's m̂/(√v̂+ε) amplifies the reduction-order
-    # noise of cross-shard psums into sign flips wherever a gradient is
-    # ~0 (measured: up to 1.8e-3 abs param divergence after 3 steps with
-    # losses still matching at 1e-6 rel) — so the gradient-level math is
-    # certified with SGD, where the one-step param delta IS −lr·grad and
-    # any real divergence shows up undamped.
+
+@requires_8
+def test_sgd_param_parity_sharded_vs_single():
+    """Param-level parity of ONE sharded train step vs single-device.
+
+    adam's m̂/(√v̂+ε) amplifies the reduction-order noise of cross-shard
+    psums into sign flips wherever a gradient is ~0 (measured: up to
+    1.8e-3 abs param divergence after 3 steps with losses still matching
+    at 1e-6 rel) — so the gradient-level math is certified with SGD,
+    where the one-step param delta IS −lr·grad and any real divergence
+    shows up undamped. FAST-tier (VERDICT r4 next #7): this is the
+    cheapest check that the sharded step computes the same gradients as
+    production, and it must run on every iteration loop, not only in
+    scripts/test_all.sh."""
+    from ocrjax.train.rec_trainer import make_train_step
+    import optax
+
+    charset = Charset("abcdefg")
+    m = M.make_mesh(n_dp=4, n_tp=2)
+    model, tx, params, batch_stats, opt_state = M.init_sharded_rec_state(
+        TINY, charset, m, width=64)
+    rng = np.random.RandomState(7)
+    B = 8
     sgd = optax.sgd(1e-2)
     sgd_step_m = M.make_sharded_rec_train_step(model, sgd, m)
     sgd_step_1 = make_train_step(model, sgd)
@@ -202,3 +219,54 @@ def test_sharded_fused_ocr_matches_unsharded():
                              M.shard_batch(m, valid_wh)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.slow
+@requires_8
+def test_train_det_and_cls_with_mesh_run():
+    """det and cls trainers accept a mesh (VERDICT r4 next #7: --mesh was
+    rec-only) — dp-sharded steps run and produce finite losses."""
+    from ocrjax.train.det_trainer import train_det
+    from ocrjax.train.cls_trainer import train_cls
+
+    m = M.make_mesh(n_dp=8, n_tp=1)
+    charset = Charset("abcdefg")
+    r = train_det(config=TINY, charset=charset, steps=2, batch_size=8,
+                  size=128, log=lambda _m: None, mesh=m)
+    assert np.isfinite(r.history[-1][1]) if r.history else True
+    from ocrjax.charset import default_charset
+    # cls batches use word-mode text -> needs the full charset
+    r2 = train_cls(config=TINY, charset=default_charset(), steps=2,
+                   batch_size=8, widths=(64,), mesh=m, eval_batches=1)
+    assert np.isfinite(r2.history[-1][1]) if r2.history else True
+
+
+@pytest.mark.slow
+@requires_8
+def test_sharded_tiled_serving_matches_single():
+    """dp-sharded C5 tiled serving (parallel.mesh.shard_tiled_serving)
+    returns the same OcrResults as the single-device path on a multi-tile
+    page (VERDICT r4 next #7: the tile axis was 'dp-shardable' on paper
+    only). Random weights — the parity bar is identical candidates/lines,
+    not quality."""
+    from ocrjax.api import OcrEngine
+    from ocrjax.train import synth
+    from ocrjax.charset import default_charset
+
+    eng = OcrEngine(config=TINY.replace(tile_blank_skip=False))
+    rng = np.random.RandomState(11)
+    page, _, _ = synth.render_page(rng, default_charset(), size=(600, 600),
+                                   n_lines=(4, 6))
+    img = np.repeat(page[..., None], 3, axis=2)
+
+    ref = eng.ocr_tiled(img)
+
+    m = M.make_mesh(n_dp=8)
+    M.shard_tiled_serving(eng, m)
+    got = eng.ocr_tiled(img)
+    M.shard_tiled_serving(eng, None)
+
+    assert len(got.lines) == len(ref.lines)
+    for a, b in zip(got.lines, ref.lines):
+        assert a.text == b.text
+        np.testing.assert_allclose(a.box.quad, b.box.quad, atol=1e-3)
