@@ -101,6 +101,9 @@ class OcrEngine:
         from ocrjax.models.cls import create_cls
         self.cls_model = create_cls(self.config)
         self._cls_trained = cls_variables is not None
+        # set by from_pretrained when the cls asset carries the antisym
+        # certificate — enables single-pass margins (cfg.cls_single_pass)
+        self.cls_antisym = False
         if cls_variables is None:
             cls_variables = self.cls_model.init(
                 key,
@@ -138,6 +141,8 @@ class OcrEngine:
         """One fused XLA program: normalize → CRNN → batched CTC decode."""
         x = preprocess.rec_normalize(
             batch_u8, self.config.rec_mean, self.config.rec_std)
+        from ocrjax.ops.warp import maybe_dewarp_curl
+        x = maybe_dewarp_curl(x[..., 0], widths, self.config)[..., None]
         logits, frame_lengths = self.rec_model.apply(variables, x, widths)
         decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
         kw = dict(blank=self.config.ctc_blank,
@@ -156,10 +161,13 @@ class OcrEngine:
         variables so weight swaps take effect without retracing. Returns
         (tokens, n_tokens, conf, flipped)."""
         from ocrjax.api_det import _cls_flip_strips
+        from ocrjax.ops.warp import maybe_dewarp_curl
         x = preprocess.rec_normalize(
             batch_u8, self.config.rec_mean, self.config.rec_std)
-        strips, flipped = _cls_flip_strips(self, cls_variables,
-                                           x[..., 0], widths, seg_ids)
+        strips, flipped = _cls_flip_strips(
+            self, cls_variables,
+            maybe_dewarp_curl(x[..., 0], widths, self.config),
+            widths, seg_ids)
         logits, frame_lengths = self.rec_model.apply(
             variables, strips[..., None], widths)
         decode = ctc.ctc_beam_decode if beam else ctc.ctc_greedy_decode
@@ -337,6 +345,8 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
     rec_v = W.load_variables(rec_p) if os.path.exists(rec_p) else None
     det_v = W.load_variables(det_p) if os.path.exists(det_p) else None
     cls_v = W.load_variables(cls_p) if os.path.exists(cls_p) else None
+    cls_antisym = (os.path.exists(cls_p)
+                   and W.load_metadata(cls_p).get("antisym") == "1")
     tdet_v = tdet_arch = None
     if os.path.exists(tdet_p):
         import json as _json
@@ -362,9 +372,11 @@ def _from_pretrained(cls, path: str = None, config: OcrConfig = None,
             cfg_dict = {k: tuple(v) if isinstance(v, list) else v
                         for k, v in cfg_dict.items()}
             config = OcrConfig(**cfg_dict)
-    return cls(config=config, charset=charset, rec_variables=rec_v,
-               det_variables=det_v, cls_variables=cls_v, seed=seed,
-               tile_det_variables=tdet_v, tile_det_arch=tdet_arch)
+    eng = cls(config=config, charset=charset, rec_variables=rec_v,
+              det_variables=det_v, cls_variables=cls_v, seed=seed,
+              tile_det_variables=tdet_v, tile_det_arch=tdet_arch)
+    eng.cls_antisym = cls_antisym
+    return eng
 
 
 OcrEngine.from_pretrained = classmethod(_from_pretrained)

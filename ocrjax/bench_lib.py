@@ -299,38 +299,49 @@ def run_bench(pages: int = 16, lines: int = 256, repeats: int = 3,
     # section above. ceiling = P / (P·det_page_s + total_lines/crops_ps).
     from ocrjax import tiling as TL
     from ocrjax import preprocess as PP
-    img0 = PP.load_image(dense_imgs[0], auto_invert=cfg.auto_invert)
-    _, d_groups = TL._prep_page(engine, img0)
+    # Mirror the production WINDOW exactly (tiling._dispatch_window /
+    # _fetch_window): all pages' same-shape tiles batch into one dispatch
+    # per shape (batch-1 convs measured ~1.7x worse per pixel), and ALL
+    # shape groups fetch as one device concat = one link RTT for the
+    # whole window — per-page dispatch+fetch overcounted the RTT 3x and
+    # reported a "ceiling" the delivered number nearly touched (r5).
+    d_by_shape = {}
+    n_dense_tiles = 0
+    for img in dense_imgs:
+        im = PP.load_image(img, auto_invert=cfg.auto_invert)
+        _, gs = TL._prep_page(engine, im)
+        for g in gs:
+            d_by_shape.setdefault(g.shape[1:], []).append(g)
+            n_dense_tiles += len(g)
     d_fwd, _ = TL._tile_forward(engine)
     d_vars = TL._tile_det_vars(engine)
-    d_devs = [jnp.asarray(PP.pack_for_upload(g, cfg)) for g in d_groups]
+    d_devs = [jnp.asarray(PP.pack_for_upload(
+        np.concatenate(gl) if len(gl) > 1 else gl[0], cfg))
+        for gl in d_by_shape.values()]
 
-    def _det_once():
-        # dispatch all shape groups, then materialize ONE device concat of
-        # the packed candidate payloads — mirroring the production window
-        # fetch (tiling._fetch_window), which pays a single link RTT for
-        # all of a window's shape groups
+    def _det_window():
         outs = [d_fwd(d_vars, g) for g in d_devs]
         np.asarray(jnp.concatenate(outs) if len(outs) > 1 else outs[0])
 
-    _det_once()
+    _det_window()
     d_times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _det_once()
+        _det_window()
         d_times.append(time.perf_counter() - t0)
-    det_page_s = min(d_times)
+    det_page_s = min(d_times) / len(dense_imgs)
     n_dense_lines = sum(len(r.lines) for r in dense_res)
     dense_ceiling_s = (len(dense_imgs) * det_page_s
                        + n_dense_lines / report["crops_per_sec"])
     report["dense_det_ms_per_page"] = round(det_page_s * 1e3, 1)
-    report["dense_tiles_per_page"] = int(sum(len(g) for g in d_groups))
+    report["dense_tiles_per_page"] = round(
+        n_dense_tiles / len(dense_imgs), 1)
     report["dense_pages_per_sec_device"] = len(dense_imgs) / dense_ceiling_s
-    # dense tile-det roofline (sum over the page's shape groups)
+    # dense tile-det roofline (whole window, normalized per page)
     det_flops = sum(RL.xla_flops(
         lambda g: d_fwd(d_vars, g), gd) for gd in d_devs)
     roofline.append(RL.stage_entry(
-        "dense_tile_det_page", det_flops, det_page_s))
+        "dense_tile_det_page", det_flops / len(dense_imgs), det_page_s))
     # per-page device-time normalization across the two e2e paths: the
     # stage costing the most device ms per page is the next compute
     # optimization target. The dense entry includes its per-page

@@ -133,6 +133,26 @@ class OcrConfig:
                                      # page's decision; strong per-line
                                      # evidence still overrides. 0 = pure
                                      # per-line decisions.
+    rec_dewarp_curl: bool = True     # curved-baseline rectification
+                                     # (ops.warp.dewarp_curl): fit a
+                                     # quadratic through each strip's
+                                     # column ink centers and remove the
+                                     # bow with a piecewise-linear MXU
+                                     # shift. Identity (bit-exact) for
+                                     # strips below the deviation floor,
+                                     # so flat text is untouched.
+    rec_dewarp_min_dev_px: float = 3.0  # fitted peak-to-peak deviation
+                                     # (strip px) below which a strip is
+                                     # flat and keeps its pixels
+    rec_dewarp_max_px: float = 10.0  # displacement clamp (strip px)
+    cls_single_pass: bool = True     # orientation margin from ONE
+                                     # classifier pass (2·logit(s)) when
+                                     # the loaded cls asset was trained
+                                     # with the antisymmetry penalty
+                                     # (cls_trainer antisym>0, asset
+                                     # metadata antisym=1); assets without
+                                     # the certificate keep the two-pass
+                                     # symmetric ensemble regardless.
     rec_hidden: int = 256            # BiLSTM hidden size
     rec_conv_channels: Tuple[int, ...] = (64, 128, 256, 512)
     ctc_blank: int = 0               # blank id (charset ids start at 1)

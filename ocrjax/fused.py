@@ -134,6 +134,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
                 rec_height=H, bucket_width=W, pad_value=pad_v)
         strips = strips_bk.reshape(B * K, H, W)
         widths = widths_bk.reshape(B * K)
+        # curved-baseline rectification (identity for flat strips)
+        strips = warp_quads_lib.maybe_dewarp_curl(strips, widths, cfg)
 
         # ---- orientation (rec_try_flip, the PP-OCR "cls" stage) -------------
         if cfg.rec_try_flip:

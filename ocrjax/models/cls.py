@@ -19,6 +19,7 @@ descenders), which a small conv net learns directly.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -73,13 +74,24 @@ def flip_strips_by_width(strips: jnp.ndarray, widths: jnp.ndarray,
     strips: (N, H, W); widths: (N,) valid columns; flip: (N,) bool.
     Row j of a flipped strip samples column (w-1-j); columns ≥ w stay at
     pad_value so the CRNN's width masking sees the same frame count.
+
+    Implementation: pure axis reverses + a per-strip one-hot SHIFT matmul
+    (out[:, :, j] = rev[:, :, j + (W−w)]) instead of an (N, H, W)
+    take_along_axis — elementwise dynamic gathers serialize on TPU while
+    the one-hot contraction rides the MXU (the same trick as the CTC
+    compaction, ops/ctc.py). Exact: every output element is one x·1
+    product, and the f32 contraction reproduces it bit-for-bit.
     """
     N, H, W = strips.shape
     cols = jnp.arange(W)
-    src = (widths[:, None] - 1 - cols[None, :]) % W            # (N, W)
-    flipped = jnp.take_along_axis(
-        strips[:, ::-1, :], jnp.broadcast_to(src[:, None, :], (N, H, W)),
-        axis=2)
+    rev = strips[:, ::-1, ::-1]                                # (N, H, W)
+    # shift[n]: v == j + (W - w_n)  → out[n, h, j] = rev[n, h, j + W - w_n]
+    shift = (cols[None, None, :] + (W - widths[:, None, None])
+             == cols[None, :, None]).astype(strips.dtype)      # (N, V, J)
+    flipped = jnp.einsum("nhv,nvj->nhj", rev, shift,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32
+                         ).astype(strips.dtype)
     flipped = jnp.where(cols[None, None, :] < widths[:, None, None],
                         flipped, pad_value)
     return jnp.where(flip[:, None, None], flipped, strips)

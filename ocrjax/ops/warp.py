@@ -855,3 +855,137 @@ def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width,
         pad_value=pad_value)
+
+
+# ---------------------------------------------------------------------------
+# Curved-baseline rectification (r5, VERDICT r4 next #6)
+# ---------------------------------------------------------------------------
+
+def dewarp_curl(strips: jnp.ndarray, widths: jnp.ndarray, *,
+                ink_thresh: float = 0.0, segments: int = 16,
+                min_dev_px: float = 2.0, max_shift_px: float = 10.0,
+                pad_value: float = 0.0):
+    """Straighten curved text baselines in warped strips (page curl /
+    strong keystone — the r4 projective tier's residual error class:
+    det_recall 1.0 at every severity but line-exact 0.899 at 1.0, because
+    the homography rectification cannot normalize a BOWED baseline,
+    DESIGN.md §4g).
+
+    Per strip: (1) column-wise ink ENVELOPE MIDPOINTS (mean of first and
+    last ink row — less typography-sensitive than the ink mass center,
+    which over-weights tall glyphs); (2) closed-form least-squares
+    quadratic fit over inked columns; (3) ONLY the fit's QUADRATIC
+    component becomes the vertical displacement field δ(x): the pass-1
+    homography already normalizes linear tilt, and the dangerous
+    false-positive class — systematic ascender/descender sorting inside
+    a straight line ('lll ppp') — shows up as a LINEAR midline trend
+    that must not be "corrected" (it encodes case/height cues), while
+    page curl is a bow. δ is applied as a piecewise-linear column
+    shift.
+
+    TPU mechanics: the resample never gathers. δ is sampled at
+    `segments`+1 node columns; each node gets a bilinear one-hot (H, H)
+    row matrix, each of the `segments` column blocks is contracted with
+    its two flanking node matrices on the MXU, and the block's columns
+    lerp between the two results — an exact piecewise-(bi)linear
+    displacement warp built from reshapes + small matmuls (the same
+    no-gather discipline as flip_strips_by_width / the CTC compaction).
+
+    The STRAIGHT-tier guarantee: strips whose fitted peak-to-peak
+    deviation is below min_dev_px get δ≡0, and a zero shift yields
+    bit-exact identity one-hots — flat text is untouched. Deviations
+    clamp to ±max_shift_px. Returns (strips, curved mask).
+    """
+    N, H, W = strips.shape
+    if W % segments:
+        segments = max(1, W // (W // segments + 1))
+        while W % segments:
+            segments -= 1
+    S = segments
+    cols = jnp.arange(W, dtype=jnp.float32)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    col_in = cols[None, :] < widths[:, None].astype(jnp.float32)
+    ink = (strips < ink_thresh) & col_in[:, None, :]           # (N, H, W)
+
+    cnt = jnp.sum(ink, axis=1).astype(jnp.float32)             # (N, W)
+    top = jnp.where(cnt > 0, jnp.argmax(ink, axis=1).astype(jnp.float32),
+                    0.0)
+    bot = jnp.where(cnt > 0,
+                    (H - 1 - jnp.argmax(ink[:, ::-1, :], axis=1)
+                     ).astype(jnp.float32), 0.0)
+    v = (cnt >= 1.0) & col_in                                  # inked cols
+
+    # normalized x in [-1, 1] over each strip's valid width
+    xn = (cols[None, :] / jnp.maximum(
+        widths[:, None].astype(jnp.float32) - 1.0, 1.0)) * 2.0 - 1.0
+    phi = jnp.stack([jnp.ones_like(xn), xn, xn * xn], axis=-1)  # (N, W, 3)
+    vw = v.astype(jnp.float32)[..., None]
+    A = jnp.einsum("nwi,nwj->nij", phi * vw, phi)              # (N, 3, 3)
+    A = A + 1e-3 * jnp.eye(3)[None]
+    # separate quadratic fits of the TOP and BOTTOM ink envelopes: true
+    # page curl displaces both equally, while typography (ascender/
+    # descender distribution along the line) bends them differently —
+    # 'ppp' dips only the bottom, 'lll' only the top. Requiring the two
+    # curvatures to AGREE kills the straight-page false fires that a
+    # midpoint-only fit suffered (measured: −8 pts straight line-exact
+    # from quadratic fits of ordinary mixed-height text).
+    b_top = jnp.einsum("nwi,nw->ni", phi * vw, top)
+    b_bot = jnp.einsum("nwi,nw->ni", phi * vw, bot)
+    c_top = jnp.linalg.solve(A, b_top[..., None])[..., 0]      # (N, 3)
+    c_bot = jnp.linalg.solve(A, b_bot[..., None])[..., 0]
+    a_top, a_bot = c_top[:, 2], c_bot[:, 2]
+    coef = 0.5 * (c_top + c_bot)
+
+    # quadratic component only: q(x) = a·(x² − mean_v x²)
+    n_v = jnp.maximum(jnp.sum(vw[..., 0], axis=1), 1.0)
+    x2 = xn * xn
+    x2_mean = jnp.sum(jnp.where(v, x2, 0.0), axis=1) / n_v
+    quad = coef[:, 2:3] * (x2 - x2_mean[:, None])              # (N, W)
+    delta = jnp.clip(quad, -max_shift_px, max_shift_px)
+    dev_pp = (jnp.max(jnp.where(v, quad, -jnp.inf), axis=1)
+              - jnp.min(jnp.where(v, quad, jnp.inf), axis=1))
+    enough = jnp.sum(vw[..., 0], axis=1) >= 16.0  # fit needs support
+    agree = ((a_top * a_bot > 0.0)
+             & (jnp.abs(a_top - a_bot)
+                <= 0.6 * jnp.maximum(jnp.abs(a_top), jnp.abs(a_bot))))
+    curved = (jnp.isfinite(dev_pp) & (dev_pp >= min_dev_px)
+              & enough & agree)
+    delta = jnp.where(curved[:, None], delta, 0.0)
+
+    # ---- piecewise-linear displacement via segment node matmuls ----------
+    Wb = W // S
+    node_cols = jnp.clip(jnp.arange(S + 1) * Wb, 0, W - 1)     # (S+1,)
+    d_nodes = delta[:, node_cols]                              # (N, S+1)
+    lo = jnp.floor(d_nodes)
+    f = d_nodes - lo                                           # (N, S+1)
+    ii = rows[None, None, :, None]                             # 1,1,H,1
+    hh = jnp.arange(H)[None, None, None, :]                    # 1,1,1,H
+    src0 = jnp.clip(ii + lo[:, :, None, None], 0, H - 1)
+    src1 = jnp.clip(ii + lo[:, :, None, None] + 1.0, 0, H - 1)
+    R = ((hh == src0) * (1.0 - f[:, :, None, None])
+         + (hh == src1) * f[:, :, None, None])                 # (N,S+1,H,H)
+    blocks = strips.reshape(N, H, S, Wb)
+    left = jnp.einsum("nsih,nhsw->nisw", R[:, :-1], blocks,
+                      precision=jax.lax.Precision.HIGHEST)
+    right = jnp.einsum("nsih,nhsw->nisw", R[:, 1:], blocks,
+                       precision=jax.lax.Precision.HIGHEST)
+    t = (jnp.arange(Wb, dtype=jnp.float32) / float(Wb))[None, None, None, :]
+    out = ((1.0 - t) * left + t * right).reshape(N, H, W)
+    out = jnp.where(col_in[:, None, :], out, pad_value)
+    return jnp.where(curved[:, None, None], out, strips), curved
+
+
+def maybe_dewarp_curl(strips: jnp.ndarray, widths: jnp.ndarray, cfg
+                      ) -> jnp.ndarray:
+    """Config-gated dewarp_curl on normalized strips (the shared insertion
+    point of the three rec entries: staged/pooled _rec_strips_jit, the C1
+    _rec_step programs, and the fused e2e program)."""
+    if not getattr(cfg, "rec_dewarp_curl", False):
+        return strips
+    out, _ = dewarp_curl(
+        strips, widths,
+        ink_thresh=(0.5 - cfg.rec_mean) / cfg.rec_std,
+        min_dev_px=cfg.rec_dewarp_min_dev_px,
+        max_shift_px=cfg.rec_dewarp_max_px,
+        pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std)
+    return out

@@ -75,13 +75,33 @@ def flip_half(rng: np.random.RandomState, batch: synth.LineBatch
     return labels
 
 
-def make_cls_train_step(model, tx, mean: float = 0.5, std: float = 0.5):
+def make_cls_train_step(model, tx, mean: float = 0.5, std: float = 0.5,
+                        antisym: float = 0.0):
     """mean/std must be the serving config's rec_mean/rec_std — the cls
-    stage sees exactly the recognizer's normalized strips at serving."""
+    stage sees exactly the recognizer's normalized strips at serving.
+
+    antisym > 0 adds an ANTISYMMETRY penalty λ·mean((l(s)+l(rot180 s))²)
+    plus the rotated copy's own BCE (labels inverted): the serving
+    ensemble margin is l(s)−l(rot180 s), and an explicitly antisymmetric
+    model makes the single logit ≈ margin/2, so serving can drop the
+    second classifier pass (cfg.cls_single_pass — VERDICT r4 next #5:
+    the two-pass ensemble was the structural half of try-flip's 31%
+    overhead). Training cost doubles; the net trains in minutes."""
     def loss_fn(params, images, widths, labels):
         x = preprocess.rec_normalize(images, mean, std)
         logits = model.apply({"params": params}, x, widths)
-        return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        bce = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        if antisym <= 0:
+            return bce
+        from ocrjax.models import cls as C
+        pad = (0.0 - mean) / std
+        rot = C.flip_strips_by_width(
+            x[..., 0], widths, jnp.ones(x.shape[:1], bool), pad)
+        l_rot = model.apply({"params": params}, rot[..., None], widths)
+        bce_rot = optax.sigmoid_binary_cross_entropy(
+            l_rot, 1.0 - labels).mean()
+        return (0.5 * (bce + bce_rot)
+                + antisym * jnp.mean((logits + l_rot) ** 2))
 
     @jax.jit
     def step(params, opt_state, images, widths, labels):
@@ -109,6 +129,7 @@ def train_cls(
     crop_pages: int = 48,
     p_crop: float = 0.5,
     mesh=None,
+    antisym: float = 0.5,
 ) -> ClsTrainResult:
     """widths: serving strips land in EVERY rec width bucket, so batches
     cycle through these (one static program per width — same bucketing the
@@ -152,7 +173,8 @@ def train_cls(
     tx = optax.adam(optax.schedules.cosine_decay_schedule(
         lr, steps, alpha=0.1))
     opt_state = tx.init(params)
-    step = make_cls_train_step(model, tx, config.rec_mean, config.rec_std)
+    step = make_cls_train_step(model, tx, config.rec_mean, config.rec_std,
+                               antisym=antisym)
 
     def batch_kwargs(width):
         # longer buckets hold longer text (≈12px/char at h=32)

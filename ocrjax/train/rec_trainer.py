@@ -32,7 +32,8 @@ class TrainResult:
     exact_match: float
 
 
-def make_train_step(model, tx, donate: bool = False) -> Callable:
+def make_train_step(model, tx, donate: bool = False,
+                    ent_reg: float = 0.0) -> Callable:
     """Returns jit'd (params, batch_stats, opt_state, batch) -> updated.
 
     This is THE production rec train step — parallel.mesh pjits this exact
@@ -42,7 +43,15 @@ def make_train_step(model, tx, donate: bool = False) -> Callable:
     that trains the shipped assets (VERDICT r3 missing #6). donate=True
     releases the old params/opt-state buffers (mesh path; CPU jax warns
     that donation is unimplemented, so the single-device trainer keeps
-    them)."""
+    them).
+
+    ent_reg > 0 adds a frame-entropy MAXIMIZATION term −λ·H(softmax
+    logits) over valid frames (the soft-posterior recipe, VERDICT r4
+    next #2): the shipped CRNN's posteriors are peaked enough that K=8
+    beam search never overturns greedy (0/256 divergence, DESIGN.md
+    §4h) even where greedy is wrong — entropy regularization keeps
+    alternatives alive in the frame distributions so search/rescoring
+    has something to work with on degraded inputs."""
 
     def loss_fn(params, batch_stats, images, widths, labels, label_lengths):
         x = preprocess.rec_normalize(images)
@@ -50,6 +59,13 @@ def make_train_step(model, tx, donate: bool = False) -> Callable:
             {"params": params, "batch_stats": batch_stats},
             x, widths, train=True, mutable=["batch_stats"])
         loss = ctc.ctc_loss(logits, frame_lengths, labels, label_lengths)
+        if ent_reg > 0:
+            logp = jax.nn.log_softmax(logits)
+            ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)      # (B, T)
+            t = jnp.arange(logits.shape[1])
+            mask = (t[None, :] < frame_lengths[:, None]).astype(jnp.float32)
+            loss = loss - ent_reg * (jnp.sum(ent * mask)
+                                     / jnp.maximum(mask.sum(), 1.0))
         return loss, updates["batch_stats"]
 
     def train_step(params, batch_stats, opt_state,
@@ -110,6 +126,7 @@ def train_rec(
     degrade_anneal_frac: float = 0.0,
     flat_snap: float = 0.0,
     mesh=None,
+    ent_reg: float = 0.0,
 ) -> TrainResult:
     """init_variables: warm-start params/batch_stats (fine-tuning), e.g. the
     shipped assets — must match the model built from `config`/`charset`.
@@ -157,7 +174,7 @@ def train_rec(
             0.0, lr, min(100, steps // 10 + 1), steps)),
     )
     opt_state = tx.init(params)  # inherits the param shardings
-    train_step = make_train_step(model, tx)
+    train_step = make_train_step(model, tx, ent_reg=ent_reg)
 
     def put_batch(*arrays):
         if mesh is None:

@@ -66,10 +66,13 @@ def main():
         pages.append((np.repeat(page[..., None], 3, axis=2), quads, texts))
         print(f"rendered {len(texts)} lines", flush=True)
 
-    # warm
+    # warm THE BATCH PATH: ocr_tiled_batch compiles pooled P-bucketed
+    # shapes ocr_tiled never touches — warming only the single-page path
+    # left first-compiles inside the timed region (measured: 0.097
+    # "pages/s" vs 10.3 steady-state on identical code)
     t0 = time.time()
-    res0 = eng.ocr_tiled(pages[0][0])
-    print(f"warm page: {time.time() - t0:.1f}s, {len(res0.lines)} lines, "
+    res0 = eng.ocr_tiled_batch([p[0] for p in pages])[0]
+    print(f"warm batch: {time.time() - t0:.1f}s, {len(res0.lines)} lines, "
           f"truncated={res0.truncated}", flush=True)
 
     t0 = time.time()

@@ -27,6 +27,9 @@ def main():
                          "and the crop pool is memorized instead of "
                          "teaching the warp domain")
     ap.add_argument("--p-crop", type=float, default=0.5)
+    ap.add_argument("--antisym", type=float, default=0.5,
+                    help="antisymmetry penalty weight; > 0 certifies the "
+                         "asset for single-pass serving (cls_single_pass)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--mesh", default=None, metavar="DP[,TP]",
                     help="run the train step over an N-chip DP[,TP] device mesh (parallel.mesh): '8' = 8-way data parallel, '4,2' = dp=4 x tp=2. On 1 real chip use the CPU-mesh trick (XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu) to validate sharding.")
@@ -52,7 +55,7 @@ def main():
                     batch_size=args.batch, widths=tuple(args.widths),
                     seed=args.seed, verbose=True, eval_batches=30,
                     engine=engine, crop_pages=args.crop_pages,
-                    p_crop=args.p_crop, mesh=mesh)
+                    p_crop=args.p_crop, mesh=mesh, antisym=args.antisym)
     print(f"final orientation accuracy (serving distribution): "
           f"{res.accuracy:.4f}")
 
@@ -63,6 +66,9 @@ def main():
         "config": json.dumps({"compute_dtype": cfg.compute_dtype}),
         "accuracy": f"{res.accuracy:.4f}",
         "steps": str(args.steps),
+        # antisym-trained assets are certified for single-pass serving
+        # (api_det._cls_margins drops the second classifier pass)
+        "antisym": "1" if args.antisym > 0 else "0",
     })
     print("wrote", out)
 

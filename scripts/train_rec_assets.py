@@ -102,6 +102,9 @@ def main():
                          "augmentation per eligible strip "
                          "(synth.flat_snap_strip; train/serve consistency "
                          "for rec_flat_band_frac, DESIGN.md 4f)")
+    ap.add_argument("--ent-reg", type=float, default=0.0,
+                    help="frame-entropy maximization weight (soft "
+                         "posteriors for beam/rescoring — DESIGN.md §4h)")
     ap.add_argument("--mesh", default=None, metavar="DP[,TP]",
                     help="train the SAME step dp(+tp)-sharded over a device "
                          "mesh (parallel.mesh): '8' = 8-way data parallel, "
@@ -200,6 +203,7 @@ def main():
         config=config, charset=charset, steps=args.steps,
         batch_size=args.batch, width=args.width, lr=args.lr,
         mesh=mesh,
+        ent_reg=args.ent_reg,
         seed=args.seed, max_len=args.max_len,
         log=lambda m: print(m, flush=True),
         init_variables=init_variables,

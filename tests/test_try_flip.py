@@ -478,3 +478,96 @@ def test_recognize_pooled_flip_chunks_over_count_cap():
         eng, gray, page_ids, quads, b_all)
     assert len(texts) == len(confs) == len(flips) == n
     assert all(t is not None for t in texts)
+
+
+def test_flip_matmul_matches_gather():
+    """flip_strips_by_width's one-hot MXU shift is bit-exact vs the
+    take_along_axis formulation it replaced (r5: elementwise dynamic
+    gathers serialize on TPU; the contraction rides the MXU)."""
+    import jax.numpy as jnp
+    from ocrjax.models.cls import flip_strips_by_width
+
+    def gather_flip(strips, widths, flip, pad_value):
+        N, H, W = strips.shape
+        cols = jnp.arange(W)
+        src = (widths[:, None] - 1 - cols[None, :]) % W
+        flipped = jnp.take_along_axis(
+            strips[:, ::-1, :],
+            jnp.broadcast_to(src[:, None, :], (N, H, W)), axis=2)
+        flipped = jnp.where(cols[None, None, :] < widths[:, None, None],
+                            flipped, pad_value)
+        return jnp.where(flip[:, None, None], flipped, strips)
+
+    rng = np.random.RandomState(0)
+    strips = jnp.asarray(rng.randn(7, 32, 96).astype(np.float32))
+    widths = jnp.asarray(np.array([96, 50, 1, 2, 77, 96, 33], np.int32))
+    flip = jnp.asarray(np.array([1, 1, 1, 0, 1, 0, 1], bool))
+    a = np.asarray(gather_flip(strips, widths, flip, -1.5))
+    b = np.asarray(flip_strips_by_width(strips, widths, flip, -1.5))
+    assert np.array_equal(a, b)
+
+
+def test_single_pass_margin_is_twice_logit():
+    """With the antisym certificate + cfg.cls_single_pass, _cls_margins
+    returns 2·logit(s) from ONE classifier pass; without it, the
+    symmetric ensemble (VERDICT r4 next #5)."""
+    import jax
+    import jax.numpy as jnp
+    from ocrjax.api import OcrEngine
+    from ocrjax.api_det import _cls_margins
+    from ocrjax.config import TINY
+
+    rng = np.random.RandomState(3)
+    strips = jnp.asarray(rng.randn(4, 32, 64).astype(np.float32))
+    widths = jnp.asarray(np.array([64, 40, 64, 20], np.int32))
+
+    eng = OcrEngine(config=TINY)
+    _, ens = _cls_margins(eng, eng.cls_variables, strips, widths)
+
+    eng2 = OcrEngine(config=TINY)
+    eng2.cls_antisym = True
+    _, single = _cls_margins(eng2, eng2.cls_variables, strips, widths)
+    logit = eng2.cls_model.apply(eng2.cls_variables, strips[..., None],
+                                 widths)
+    np.testing.assert_allclose(np.asarray(single), 2.0 * np.asarray(logit),
+                               rtol=1e-6)
+    # a random-init net is not antisymmetric, so the two modes differ
+    assert not np.allclose(np.asarray(single), np.asarray(ens))
+
+    # cfg off -> ensemble even with the certificate
+    eng3 = OcrEngine(config=TINY.replace(cls_single_pass=False))
+    eng3.cls_antisym = True
+    _, ens3 = _cls_margins(eng3, eng3.cls_variables, strips, widths)
+    np.testing.assert_allclose(np.asarray(ens3), np.asarray(ens), rtol=1e-5)
+
+
+def test_antisym_training_produces_antisymmetric_logits():
+    """A few hundred antisym steps drive logit(s) ≈ −logit(rot180 s), so
+    the single-pass margin agrees in SIGN with the ensemble margin."""
+    import jax.numpy as jnp
+    from ocrjax.charset import default_charset
+    from ocrjax.config import TINY
+    from ocrjax.models.cls import flip_strips_by_width
+    from ocrjax.train.cls_trainer import train_cls
+    from ocrjax import preprocess
+
+    r = train_cls(config=TINY, charset=default_charset(), steps=150,
+                  batch_size=16, widths=(64,), eval_batches=4,
+                  antisym=0.5, lr=2e-3)
+    from ocrjax.models.cls import create_cls
+    model = create_cls(TINY)
+    rng = np.random.RandomState(5)
+    from ocrjax.train import synth
+    lb = synth.make_line_batch(rng, default_charset(), 16, 64, height=32)
+    x = preprocess.rec_normalize(jnp.asarray(lb.images),
+                                 TINY.rec_mean, TINY.rec_std)
+    w = jnp.asarray(lb.widths)
+    l_s = np.asarray(model.apply(r.variables, x, w))
+    pad = (0.0 - TINY.rec_mean) / TINY.rec_std
+    rot = flip_strips_by_width(x[..., 0], w,
+                               jnp.ones(x.shape[:1], bool), pad)
+    l_r = np.asarray(model.apply(r.variables, rot[..., None], w))
+    # antisymmetry: |l(s) + l(rot)| small relative to margin scale
+    asym = np.abs(l_s + l_r)
+    scale = np.abs(l_s - l_r).mean() + 1e-6
+    assert asym.mean() < 0.5 * scale, (asym.mean(), scale)
