@@ -133,14 +133,18 @@ class OcrConfig:
                                      # page's decision; strong per-line
                                      # evidence still overrides. 0 = pure
                                      # per-line decisions.
-    rec_dewarp_curl: bool = True     # curved-baseline rectification
+    rec_dewarp_curl: bool = False    # curved-baseline rectification
                                      # (ops.warp.dewarp_curl): fit a
                                      # quadratic through each strip's
                                      # column ink centers and remove the
                                      # bow with a piecewise-linear MXU
                                      # shift. Identity (bit-exact) for
-                                     # strips below the deviation floor,
-                                     # so flat text is untouched.
+                                     # strips below the deviation floor.
+                                     # DEFAULT OFF: unit-level it fixes
+                                     # bowed strips (6/24, breaks 0) but
+                                     # the e2e severity-1.0 measurement
+                                     # read worse ON than OFF — see
+                                     # DESIGN.md §4j for the verdict.
     rec_dewarp_min_dev_px: float = 3.0  # fitted peak-to-peak deviation
                                      # (strip px) below which a strip is
                                      # flat and keeps its pixels

@@ -100,4 +100,5 @@ def test_e2e_curl_page_improves():
     from ocrjax.api import OcrEngine
 
     eng_on = OcrEngine.from_pretrained()
-    assert eng_on.config.rec_dewarp_curl  # shipped default ON
+    # measured opt-in (DESIGN.md §4j): unit-level wins, e2e harm -> OFF
+    assert not eng_on.config.rec_dewarp_curl
