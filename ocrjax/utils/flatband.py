@@ -26,11 +26,16 @@ demonstrably helps) are rescaled.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 FLAT_TOL_FRAC = 0.18
 FLAT_MAX_GLYPHS = 3
-FLAT_CASE_MAX_FRAC = 0.46
+# Env override exists for A/B evaluation sweeps only (e.g. 99 = case
+# condition off); production uses the default.
+FLAT_CASE_MAX_FRAC = float(os.environ.get(
+    "OCRJAX_FLAT_CASE_MAX_FRAC", "0.46"))
 
 
 def flat_band_gate(band_ink: np.ndarray, line_h: float = 0.0) -> bool:
