@@ -63,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--tile-pipeline-tiles", type=int, default=None,
                         help="target tiles per C5 window for multi-page "
                              "pipelining (config.tile_pipeline_tiles)")
+        sp.add_argument("--no-tile-det", action="store_true",
+                        help="tile detection uses the flagship DB instead "
+                             "of the dedicated cheap tile detector "
+                             "(assets/det_tile.safetensors) — A/B testing")
+        sp.add_argument("--no-blank-skip", action="store_true",
+                        help="disable the blank-tile prescreen (tiles with "
+                             "no stroke contrast skip upload + detection)")
+        sp.add_argument("--dewarp-curl", action="store_true",
+                        help="curved-baseline rectification of recognition "
+                             "strips (measured opt-in, DESIGN.md 4j)")
         sp.add_argument("--tile-window-hbm-mb", type=int, default=None,
                         help="HBM budget per pooled C5 window "
                              "(config.tile_window_hbm_mb)")
@@ -130,6 +140,12 @@ def _make_engine(args):
         overrides["det_int8"] = True
     if getattr(args, "no_auto_invert", False):
         overrides["auto_invert"] = False
+    if getattr(args, "no_tile_det", False):
+        overrides["tile_det_enable"] = False
+    if getattr(args, "no_blank_skip", False):
+        overrides["tile_blank_skip"] = False
+    if getattr(args, "dewarp_curl", False):
+        overrides["rec_dewarp_curl"] = True
     if overrides:
         engine.config = engine.config.replace(**overrides)
         engine._det = None  # force rebuild with new static config

@@ -124,3 +124,14 @@ def test_tiled_window_single_fetch_matches_per_group():
         np.testing.assert_array_equal(v[off:off + n], rv)
         np.testing.assert_allclose(b[off:off + n], rb, atol=1e-5)
         off += n
+
+
+def test_pretrained_engine_loads_tile_det():
+    """The shipped assets include the tile variant and the default engine
+    routes C5 detection through it (the dense TPU gates then exercise its
+    quality end-to-end)."""
+    eng = OcrEngine.from_pretrained()
+    assert eng.tile_det_variables is not None
+    assert eng.tile_det_arch and eng.tile_det_arch.get("channels")
+    assert eng.config.tile_det_enable
+    assert tiling._tile_det_vars(eng) is eng.tile_det_variables
