@@ -331,7 +331,8 @@ def ocr(engine, image, beam: bool = False,
             x_margin_keep=cfg.rec_ink_x_margin_keep,
             pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
             orig_quads=jnp.asarray(quads_orig_canvas),
-            flat_frac=cfg.rec_flat_band_frac)
+            flat_frac=cfg.rec_flat_band_frac,
+            case_gate=cfg.rec_flat_case_gate)
     else:
         strips, widths = warp_quads(
             gray, jnp.asarray(quads_canvas),
@@ -729,7 +730,8 @@ def _fullres_strips(engine, img, scale, boxes, scores, idx, gray_fn=None):
             margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
             x_margin_keep=cfg.rec_ink_x_margin_keep,
             flat_frac=cfg.rec_flat_band_frac,
-            box_h_px=float(np.linalg.norm(q[3] - q[0])))
+            box_h_px=(float(np.linalg.norm(q[3] - q[0]))
+                      if cfg.rec_flat_case_gate else 0.0))
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
         ss.append(float(scores[i]))
     return quads_orig, strips, ss

@@ -222,7 +222,8 @@ def recognize_pooled(engine, gray_dev, page_ids, quads, b_all,
                     x_margin_keep=cfg.rec_ink_x_margin_keep,
                     pad_value=(0.0 - cfg.rec_mean) / cfg.rec_std,
                     orig_quads=jnp.asarray(oq),
-                    flat_frac=cfg.rec_flat_band_frac, **kw)
+                    flat_frac=cfg.rec_flat_band_frac,
+                    case_gate=cfg.rec_flat_case_gate, **kw)
             elif sep:
                 strips, widths = warp_quads_multi_separable(
                     gray_dev, jnp.asarray(page_ids[sel]),

@@ -133,6 +133,18 @@ class OcrConfig:
                                      # page's decision; strong per-line
                                      # evidence still overrides. 0 = pure
                                      # per-line decisions.
+    rec_flat_case_gate: bool = False  # case-aware condition on the
+                                     # flat-band rescale (utils.flatband
+                                     # FLAT_CASE_MAX_FRAC): only bands at
+                                     # x-height scale vs the detector box
+                                     # rescale. MEASURED OFF with the r5
+                                     # soup: straight 8-seed identical
+                                     # (0.9703) gated or not, and the
+                                     # gate costs 2 len-1 lines on
+                                     # eval_xheight (the r5 candidate's
+                                     # case-gated flat-snap training
+                                     # already absorbed the caps-drift
+                                     # the gate was built against).
     rec_dewarp_curl: bool = False    # curved-baseline rectification
                                      # (ops.warp.dewarp_curl): fit a
                                      # quadratic through each strip's

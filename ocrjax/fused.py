@@ -128,7 +128,8 @@ def make_fused_ocr_fn(engine, lines_per_page: int = 32,
                 margin_fracs=(cfg.rec_crop_margin, cfg.rec_crop_margin),
                 x_margin_keep=cfg.rec_ink_x_margin_keep,
                 orig_quads=quads.reshape(B * K, 4, 2),
-                flat_frac=cfg.rec_flat_band_frac)
+                flat_frac=cfg.rec_flat_band_frac,
+                case_gate=cfg.rec_flat_case_gate)
             strips_bk, widths_bk = warp(
                 gray, refined.reshape(B, K, 4, 2),
                 rec_height=H, bucket_width=W, pad_value=pad_v)

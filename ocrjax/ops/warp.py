@@ -361,7 +361,7 @@ def warp_quads_multi_separable(
 
 @functools.partial(jax.jit, static_argnames=(
     "rec_height", "bucket_width", "tile_h", "margin_fracs",
-    "x_margin_keep", "flat_frac"))
+    "x_margin_keep", "flat_frac", "case_gate"))
 def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
                                  rec_height: int = 32,
                                  bucket_width: int = 320,
@@ -370,7 +370,8 @@ def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
                                  margin_fracs=None,
                                  x_margin_keep: float = 1.0,
                                  pad_value: float = 0.0, orig_quads=None,
-                                 flat_frac: float = 0.0
+                                 flat_frac: float = 0.0,
+                                 case_gate: bool = False
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi_separable: probe → AABB ink refine →
     re-warp (the pooled twin of the fused path's separable two-pass;
@@ -385,7 +386,7 @@ def warp_quads_multi_sep_refined(pages, page_ids, quads, bounds, *,
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
         x_margin_keep=x_margin_keep, orig_quads=orig_quads,
-        flat_frac=flat_frac)
+        flat_frac=flat_frac, case_gate=case_gate)
     return warp_quads_multi_separable(
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width, tile_h=tile_h,
@@ -620,7 +621,8 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                         bounds=None, margin_fracs=None,
                         x_margin_keep: float = 1.0,
                         orig_quads=None,
-                        flat_frac: float = 0.0) -> jnp.ndarray:
+                        flat_frac: float = 0.0,
+                        case_gate: bool = False) -> jnp.ndarray:
     """Two-pass warp refinement, homography variant (warp_quads/_multi).
 
     Pass 1 warps an EXPANDED detection quad (see expand_quads) into a probe
@@ -655,7 +657,7 @@ def refine_quads_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
             m_l = m_r = fx * h_orig * to_strip
         x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
     line_h = None
-    if flat_frac > 0.0:
+    if flat_frac > 0.0 and case_gate:
         # full line height in strip rows for the case-aware flat gate:
         # the strip's H rows span the EXPANDED quad height, so the
         # detector-box line height is H·h_orig/h_exp (nominal
@@ -702,7 +704,8 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
                        bounds=None, margin_fracs=None,
                        x_margin_keep: float = 1.0,
                        orig_quads=None,
-                       flat_frac: float = 0.0) -> jnp.ndarray:
+                       flat_frac: float = 0.0,
+                       case_gate: bool = False) -> jnp.ndarray:
     """Two-pass refinement, AABB variant (matches warp_quads_separable's
     linear strip↔page mapping). quads (N, 4, 2) → refined RECT quads.
     margin_fracs/x_margin_keep/orig_quads: see refine_quads_to_ink."""
@@ -728,7 +731,7 @@ def refine_aabb_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
             m_l = m_r = fx * h_orig / jnp.maximum(sx, 1e-6)
         x_lo, x_hi = _ink_x_window(widths, m_l, m_r, x_margin_keep)
     line_h = None
-    if flat_frac > 0.0:
+    if flat_frac > 0.0 and case_gate:
         # case-aware flat gate: detector-box line height in strip rows
         # (sy maps strip rows to page y — see refine_quads_to_ink)
         if orig_quads is not None:
@@ -803,12 +806,13 @@ def snap_strips_to_ink(strips: jnp.ndarray, widths: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "rec_height", "bucket_width", "margin_fracs", "x_margin_keep",
-    "flat_frac"))
+    "flat_frac", "case_gate"))
 def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
                        bucket_width: int = 320, ink_thresh: float = 0.0,
                        margin_fracs=None, x_margin_keep: float = 1.0,
                        pad_value: float = 0.0, orig_quads=None,
-                       flat_frac: float = 0.0
+                       flat_frac: float = 0.0,
+                       case_gate: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads: probe → ink-band refine → full-res re-warp.
 
@@ -825,7 +829,7 @@ def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
         x_margin_keep=x_margin_keep, orig_quads=orig_quads,
-        flat_frac=flat_frac)
+        flat_frac=flat_frac, case_gate=case_gate)
     return warp_quads(
         page, refined, rec_height=rec_height, bucket_width=bucket_width,
         pad_value=pad_value)
@@ -833,13 +837,14 @@ def warp_quads_refined(page, quads, bounds, *, rec_height: int = 32,
 
 @functools.partial(jax.jit, static_argnames=(
     "rec_height", "bucket_width", "margin_fracs", "x_margin_keep",
-    "flat_frac"))
+    "flat_frac", "case_gate"))
 def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
                              rec_height: int = 32, bucket_width: int = 320,
                              ink_thresh: float = 0.0,
                              margin_fracs=None, x_margin_keep: float = 1.0,
                              pad_value: float = 0.0, orig_quads=None,
-                             flat_frac: float = 0.0
+                             flat_frac: float = 0.0,
+                             case_gate: bool = False
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-pass warp_quads_multi (pooled strips from a page batch)."""
     strips, widths = warp_quads_multi(
@@ -850,7 +855,7 @@ def warp_quads_multi_refined(pages, page_ids, quads, bounds, *,
         strips, widths, quads, rec_height=rec_height, bounds=bounds,
         ink_thresh=ink_thresh, margin_fracs=margin_fracs,
         x_margin_keep=x_margin_keep, orig_quads=orig_quads,
-        flat_frac=flat_frac)
+        flat_frac=flat_frac, case_gate=case_gate)
     return warp_quads_multi(
         pages, page_ids, refined,
         rec_height=rec_height, bucket_width=bucket_width,

@@ -520,7 +520,8 @@ def _host_fallback_strips(engine, img, quads, host_idx):
             margin_right_px=max(0.0, (x1 - 1) - q[:, 0].max()),
             x_margin_keep=cfg.rec_ink_x_margin_keep,
             flat_frac=cfg.rec_flat_band_frac,
-            box_h_px=float(np.linalg.norm(q[3] - q[0])))
+            box_h_px=(float(np.linalg.norm(q[3] - q[0]))
+                      if cfg.rec_flat_case_gate else 0.0))
             if cfg.rec_snap_to_ink else gray[y0:y1, x0:x1])
     return strips
 

@@ -149,7 +149,8 @@ class LineBatch:
 
 
 def flat_snap_strip(strip: np.ndarray, frac: float,
-                    ink_thresh: int = 128) -> Optional[np.ndarray]:
+                    ink_thresh: int = 128,
+                    case_gate: bool = False) -> Optional[np.ndarray]:
     """Apply the SERVING flat-band geometry to a rendered strip
     (train/serve consistency for cfg.rec_flat_band_frac — DESIGN.md §4f):
     if the strip's ink band is ≤3 glyphs with uniform tops/bottoms (the
@@ -171,10 +172,11 @@ def flat_snap_strip(strip: np.ndarray, frac: float,
         return None
     band_h = b - a + 1
     from ocrjax.utils.flatband import flat_band_gate
-    # line_h = the strip height: rendered training strips span the
-    # font-metric line box, so the case-aware condition matches the
-    # serving gate's band/detector-box ratio (utils.flatband)
-    if not flat_band_gate(band, line_h=float(H)):
+    # case_gate mirrors cfg.rec_flat_case_gate (train/serve consistency):
+    # line_h = the strip height — rendered training strips span the
+    # font-metric line box, matching the serving gate's band/detector-box
+    # ratio (utils.flatband)
+    if not flat_band_gate(band, line_h=float(H) if case_gate else 0.0):
         return None
     xs = np.where(cols)[0]
     crop = strip[a:b + 1, int(xs.min()):int(xs.max()) + 1]
