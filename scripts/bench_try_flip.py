@@ -43,31 +43,48 @@ def main():
         imgs.append(np.repeat(page[..., None], 3, axis=2))
         gts.append(texts)
 
-    out = {}
+    # INTERLEAVED off/on windows (r5): the two configs used to run as
+    # separate sequential phases, so a link-state drift between phases
+    # read as flip overhead (or, measured 2026-08-21, as a fictitious
+    # −39% overhead when the tunnel cleared mid-run). Alternating windows
+    # give pairwise-local comparisons; the reported overhead is the
+    # median of per-PAIR ratios, which cancels slow drift.
+    res_q = {}
+    windows = {False: [], True: []}
     for flip in (False, True):
         eng.config = eng.config.replace(rec_try_flip=flip)
         eng.ocr_batch(imgs[:8], fused=True)       # warm this config
-        best = 0.0
-        for _ in range(args.repeats):
+    pair_ratios = []
+    for _ in range(args.repeats):
+        pps = {}
+        for flip in (False, True):
+            eng.config = eng.config.replace(rec_try_flip=flip)
             t0 = time.perf_counter()
             res = eng.ocr_batch(imgs, fused=True)
             dt = time.perf_counter() - t0
-            best = max(best, len(imgs) / dt)
+            pps[flip] = len(imgs) / dt
+            windows[flip].append(pps[flip])
+            res_q[flip] = res
+        pair_ratios.append(pps[True] / pps[False])
+    out = {}
+    for flip in (False, True):
         tot = hit = 0
-        for r, gt in zip(res, gts):
+        for r, gt in zip(res_q[flip], gts):
             got = [l.text for l in r.lines]
             tot += len(gt)
             hit += sum(1 for t in gt if t in got)
         out["flip_on" if flip else "flip_off"] = {
-            "pages_per_sec": round(best, 1),
+            "pages_per_sec": round(max(windows[flip]), 1),
+            "windows": [round(v, 1) for v in windows[flip]],
             "line_exact": round(hit / tot, 4),
         }
-        print(json.dumps(out["flip_on" if flip else "flip_off"]), flush=True)
+        print(json.dumps(out["flip_on" if flip else "flip_off"]),
+              flush=True)
 
-    ovh = 1.0 - out["flip_on"]["pages_per_sec"] / max(
-        out["flip_off"]["pages_per_sec"], 1e-9)
+    ovh = 1.0 - float(np.median(pair_ratios))
     dq = out["flip_on"]["line_exact"] - out["flip_off"]["line_exact"]
     print(json.dumps({"overhead_frac": round(ovh, 4),
+                      "pair_ratios": [round(r, 3) for r in pair_ratios],
                       "quality_delta": round(dq, 4),
                       "default_on_ok": bool(ovh < 0.05 and dq >= -0.005)}))
 

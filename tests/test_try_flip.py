@@ -24,8 +24,12 @@ from ocrjax.train import synth
 
 @pytest.fixture(scope="module")
 def engine():
+    # the NO-FLIP reference: rec_try_flip defaults ON since r5, so the
+    # negative-control fixture disables it explicitly
     from ocrjax.api import OcrEngine
-    return OcrEngine.from_pretrained()
+    eng = OcrEngine.from_pretrained()
+    eng.config = eng.config.replace(rec_try_flip=False)
+    return eng
 
 
 @pytest.fixture(scope="module")
