@@ -109,23 +109,28 @@ class OcrConfig:
                                      # rejects side-neighbor ink leaking in
                                      # as phantom edge characters while
                                      # still recovering clipped slivers
-    rec_try_flip: bool = True        # 180° handling: the orientation
+    rec_try_flip: bool = False       # 180° handling: the orientation
                                      # classifier (models/cls, the PP-OCR
                                      # "cls" stage) runs inside the rec
                                      # program, rotating upside-down strips
                                      # on device before the CRNN. Pages
                                      # whose lines mostly flip also get
                                      # their reading order reversed.
-                                     # DEFAULT ON since r5: the r4 ship
-                                     # rule (overhead <5% and straight-
-                                     # quality neutral) now passes —
-                                     # replacing the take_along_axis flip
-                                     # with the one-hot MXU shift cut the
-                                     # fused-path overhead 31% → 2.3%
-                                     # (interleaved windows, quality
-                                     # delta 0.0) — so all four page
-                                     # orientations are handled out of
-                                     # the box, like the PP-OCR lineage.
+                                     # STAYS default OFF (r5): the MXU
+                                     # flip cut the fused overhead 31% →
+                                     # 2.3% and straight pages are
+                                     # quality-neutral, but a default-ON
+                                     # trial FAILED the TPU gates on
+                                     # short-line content — 1-glyph
+                                     # strips are intrinsically 180°-
+                                     # ambiguous and whole-page-ambiguous
+                                     # workloads (len-1 pages 0.62 →
+                                     # 0.02; dense 0.955 → 0.845 exact)
+                                     # coin-flip without an upright
+                                     # majority for the page prior to
+                                     # pool. Opt-in per call/CLI for
+                                     # mixed-orientation corpora, which
+                                     # now costs ~2% instead of 31%.
     rot90_tilt_deg: float = 60.0     # with rec_try_flip on, a page whose
                                      # detected boxes' MEDIAN tilt exceeds
                                      # this reads as rotated ±90° (landscape
